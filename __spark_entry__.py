@@ -1,38 +1,735 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2 inventory
+                + training-data ops); each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query (value-level cross-check).
+
+Conventions shared by both sides so value hashes match:
+- every computed column is aliased identically in Spark and SQL
+- doubles rounded (typically 2-6 dp) in BOTH engines
+- timestamps exported as epoch seconds (bigint) or ISO strings
+- deterministic ordering keys everywhere a LIMIT/rank appears
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: web-corpus analytics pass over the documents table —
+    lang-ID, quality scoring, token counting, near-dup fingerprinting,
+    rolled up per language (all JVM-side expressions)."""
+    from ares_spark.functions.text import doc_fingerprint, lang_id, quality_score, token_count
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("detected_lang"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("fingerprint").alias("distinct_fingerprints"),
+            F.sum((F.col("detected_lang") == F.col("lang")).cast("int")).alias("lang_id_hits"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# B-series: relational operators the reference executes (SURVEY.md §2B)
+# --------------------------------------------------------------------------
+
+
+def q_b01_scan_filter_project(spark, sf_dir):
+    """B1+B2+B3: pushed-down scan/filter/projection (job_repository.rs:159-161)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_b04_claim_order_topk(spark, sf_dir):
+    """B4: the claim ordering — ORDER BY nullable NULLS FIRST, created ASC
+    LIMIT k (job_repository.rs:161-163). Null next-retry modeled via a
+    derived nullable column."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "next_retry_at",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_orderdate")).otherwise(F.lit(None)),
+    )
+    return (
+        o.orderBy(
+            F.col("next_retry_at").asc_nulls_first(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .select("o_orderkey", F.unix_timestamp("o_orderdate").alias("created_epoch"))
+        .limit(25)
+    )
+
+
+def q_b04_history_pagination(spark, sf_dir):
+    """B4: LIMIT/OFFSET pagination via row_number (repository.rs:86-87)."""
+    w = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"), "rn")
+    )
+
+
+def q_b05_latest_per_key(spark, sf_dir):
+    """B5: latest extraction per (url, schema) → latest event per
+    (user_id, event_type) (repository.rs:48-70)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_b06_count_by_status(spark, sf_dir):
+    """B6/B7: status rollup (job_repository.rs:415-433)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_b07_grouped_agg(spark, sf_dir):
+    """B7 at scale: TPC-H Q1 shape — partial-agg friendly grouped sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_b08_inner_join(spark, sf_dir):
+    """B8: crawl-results join (repository.rs:125-145) → orders⋈customer⋈nation
+    with a small broadcast dim."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q_b09_anti_join_seen(spark, sf_dir):
+    """B9: insert-if-absent / URL-seen anti-join (job_repository.rs:366-379):
+    customers that never placed an order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_b10_retry_backoff(spark, sf_dir):
+    """B10 + A22: conditional status transition + exponential backoff
+    schedule 60/300/1800/3600s (job.rs:60-133, job_repository.rs:206-217)."""
+    e = _t(spark, sf_dir, "events").withColumn("attempt", (F.col("event_id") % 5).cast("int"))
+    delay = (
+        F.when(F.col("attempt") <= 1, 60)
+        .when(F.col("attempt") == 2, 300)
+        .when(F.col("attempt") == 3, 1800)
+        .otherwise(3600)
+    )
+    return e.select(
+        "event_id",
+        "attempt",
+        F.when(F.col("attempt") < 3, F.lit("pending")).otherwise(F.lit("failed")).alias("status"),
+        delay.alias("delay_s"),
+        (F.unix_timestamp("ts") + delay).alias("next_retry_epoch"),
+    )
+
+
+def q_b14_string_funcs(spark, sf_dir):
+    """B14: hashing + string ops of the reference (models.rs:167-171 sha256;
+    cleaner whitespace collapse; char truncation scrape.rs:166-177)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.length("text").alias("n_chars"),
+        F.substring(F.regexp_replace(F.lower("text"), r"\s+", " "), 1, 40).alias("norm_prefix"),
+    )
+
+
+def q_b15_datetime(spark, sf_dir):
+    """B15: timestamp arithmetic (job.rs:129-133 next_retry_at = now+delay)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        (F.unix_timestamp("ts") + 300).alias("retry_5m_epoch"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A-series analogs that are SQL-expressible (crawl semantics)
+# --------------------------------------------------------------------------
+
+
+def _doc_urls(spark, sf_dir):
+    """Deterministic URL corpus derived from documents (both engines)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+def q_a15_domain_filter(spark, sf_dir):
+    """A15: allowed-domain filter, exact-or-subdomain (worker.rs:326-344)."""
+    urls = _doc_urls(spark, sf_dir).withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    allowed = ["src1.example.org", "src3.example.org", "example.net"]
+    cond = None
+    for d in allowed:
+        c = (F.col("host") == d) | F.col("host").endswith("." + d)
+        cond = c if cond is None else (cond | c)
+    return urls.filter(cond).select("doc_id", "url", "host")
+
+
+def q_a16_seen_antijoin(spark, sf_dir):
+    """A16: URL-seen dedup — anti-join on url hash with within-batch
+    dedup winner (job_repository.rs:364-380)."""
+    urls = _doc_urls(spark, sf_dir).withColumn("url_hash", F.md5("url"))
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url_hash")
+    return (
+        urls.join(seen, "url_hash", "left_anti")
+        .groupBy("url_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("url").alias("url"))
+        .select("doc_id", "url", "url_hash")
+    )
+
+
+def q_a12_change_detection(spark, sf_dir):
+    """A12: change detection vs previous observation per key — lag window
+    (scrape.rs:256-299)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").withColumn("prev_value", F.lag("value").over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("prev_value").isNull() | (F.col("prev_value") != F.col("value"))).alias("changed"),
+    )
+
+
+def q_a17_budget_cap(spark, sf_dir):
+    """A17: max_pages budget — deterministic ordered cap (worker.rs:303-325)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .limit(50)
+        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    )
+
+
+def q_a20_priority_frontier(spark, sf_dir):
+    """A20 (north_rule upgrade): host-aware round-robin claim ordering —
+    row_number per host, then global (rn, host) order, capped."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").withColumn("rn", F.row_number().over(w))
+    w2 = Window.orderBy("rn", "event_type", "event_id")
+    return (
+        e.withColumn("claim_pos", F.row_number().over(w2))
+        .filter(F.col("claim_pos") <= 100)
+        .select("claim_pos", "event_type", "event_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# T-series: text analysis for training-data pipelines
+# --------------------------------------------------------------------------
+
+
+def q_t01_token_count(spark, sf_dir):
+    from ares_spark.functions.text import bpe_ish_token_count, token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subtokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_t02_quality_score(spark, sf_dir):
+    from ares_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_t03_lang_id(spark, sf_dir):
+    from ares_spark.functions.text import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", lang_id("text").alias("detected_lang")
+    )
+
+
+def q_t04_fingerprint(spark, sf_dir):
+    from ares_spark.functions.text import doc_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# D-series: deduplication
+# --------------------------------------------------------------------------
+
+
+def q_d01_exact_dup_groups(spark, sf_dir):
+    """Exact dedup by hash-groupBy (on a 60-char normalized prefix so the
+    synthetic corpus actually has collisions)."""
+    from ares_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    return exact_duplicates(d).select("text_hash", "dup_count", "keeper_id")
+
+
+def q_d02_minhash_lsh(spark, sf_dir):
+    from ares_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.35)
+
+
+def q_d03_ngram_jaccard(spark, sf_dir):
+    from ares_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, threshold=0.35)
+
+
+def q_d04_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based — no SQL oracle; rows-only)."""
+    from ares_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# S-series: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def q_s01_ann_bruteforce(spark, sf_dir):
+    from ares_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk(corpus, queries, k=5).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cos4")
+    )
+
+
+def q_s02_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path). Deterministic hyperplanes; no SQL
+    oracle (rows-only check) — recall vs brute force asserted in pytest."""
+    from ares_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return lsh_ann_topk(corpus, queries, dim=64, k=5, planes=6).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cos4")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "b01_scan_filter_project": q_b01_scan_filter_project,
+        "b04_claim_order_topk": q_b04_claim_order_topk,
+        "b04_history_pagination": q_b04_history_pagination,
+        "b05_latest_per_key": q_b05_latest_per_key,
+        "b06_count_by_status": q_b06_count_by_status,
+        "b07_grouped_agg": q_b07_grouped_agg,
+        "b08_inner_join": q_b08_inner_join,
+        "b09_anti_join_seen": q_b09_anti_join_seen,
+        "b10_retry_backoff": q_b10_retry_backoff,
+        "b14_string_funcs": q_b14_string_funcs,
+        "b15_datetime": q_b15_datetime,
+        "a12_change_detection": q_a12_change_detection,
+        "a15_domain_filter": q_a15_domain_filter,
+        "a16_seen_antijoin": q_a16_seen_antijoin,
+        "a17_budget_cap": q_a17_budget_cap,
+        "a20_priority_frontier": q_a20_priority_frontier,
+        "t01_token_count": q_t01_token_count,
+        "t02_quality_score": q_t02_quality_score,
+        "t03_lang_id": q_t03_lang_id,
+        "t04_fingerprint": q_t04_fingerprint,
+        "d01_exact_dup_groups": q_d01_exact_dup_groups,
+        "d02_minhash_lsh": q_d02_minhash_lsh,
+        "d03_ngram_jaccard": q_d03_ngram_jaccard,
+        "d04_simhash": q_d04_simhash,
+        "s01_ann_bruteforce": q_s01_ann_bruteforce,
+        "s02_ann_lsh": q_s02_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# --------------------------------------------------------------------------
+
+_TOKS = "str_split_regex(trim(text), '\\s+')"
+_LTOKS = f"[lower(t) for t in {_TOKS}]"
+
+
+def _shingles_sql(src_toks: str = _LTOKS, n: int = 3) -> str:
+    """DuckDB expression for word n-gram shingles matching functions.text.shingles."""
+    return (
+        f"(case when len({src_toks}) < {n} then [array_to_string({src_toks}, ' ')] "
+        f"else [array_to_string(({src_toks})[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len({src_toks}) - {n - 1})] end)"
+    )
+
+
+_QUALITY_SQL = """
+with base as (
+  select doc_id,
+         length(text) as n,
+         length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) as n_punct,
+         str_split_regex(trim(text), '\\s+') as toks
+  from documents
+), ratios as (
+  select doc_id,
+         case when n = 0 then 0.0 else n_punct::double / n end as punct_ratio,
+         case when len(toks) = 0 then 0.0
+              else len([t for t in toks if lower(t) in
+                ('the','a','an','and','or','of','to','in','on','is','are',
+                 'was','it','that','this','for','with','as','at','by')])::double
+                   / len(toks) end as stopword_ratio,
+         n
+  from base
+)
+select doc_id,
+       round(punct_ratio, 6) as punct_ratio,
+       round(stopword_ratio, 6) as stopword_ratio,
+       round(0.4 * least(n / 500.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - punct_ratio * 5.0)
+           + 0.3 * least(stopword_ratio / 0.4, 1.0), 6) as quality
+from ratios
+"""
+
+_LANG_SQL = """
+with toks as (
+  select doc_id, lang, text, [lower(t) for t in str_split_regex(trim(text), '\\s+')] as lt
+  from documents
+), scores as (
+  select doc_id, lang,
+    len([t for t in lt if t in ('the','and','of','to','a')])::double as s_en,
+    len([t for t in lt if t in ('der','die','und','das','ist')])::double as s_de,
+    len([t for t in lt if t in ('le','la','et','les','une')])::double as s_fr,
+    len([t for t in lt if t in ('el','los','que','una','y')])::double as s_es,
+    ((length(text) - length(replace(text, '的', ''))) / length('的')
+     + (length(text) - length(replace(text, '是', ''))) / length('是')
+     + (length(text) - length(replace(text, '了', ''))) / length('了')
+     + (length(text) - length(replace(text, '在', ''))) / length('在')
+     + (length(text) - length(replace(text, '和', ''))) / length('和'))::double as s_zh
+  from toks
+)
+select doc_id, lang,
+  case when greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 then 'und'
+       else (select l from (values ('en', s_en), ('de', s_de), ('fr', s_fr),
+                                   ('es', s_es), ('zh', s_zh)) t(l, s)
+             order by s desc, l asc limit 1)
+  end as detected_lang
+from scores
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh = _shingles_sql()
+    minhash_sig = ",\n    ".join(
+        f"min(md5('{k}:' || sh)) as h{k}" for k in range(16)
+    )
+    bands = ", ".join(
+        "md5('{b}|' || h{a} || '|' || h{c} || '|' || h{d} || '|' || h{e})".format(
+            b=b, a=4 * b, c=4 * b + 1, d=4 * b + 2, e=4 * b + 3
+        )
+        for b in range(4)
+    )
+    return {
+        "b01_scan_filter_project": """
+            select o_orderkey, o_custkey, round(o_totalprice, 2) as price
+            from orders where o_orderstatus = 'O' and o_totalprice > 100000
+        """,
+        "b04_claim_order_topk": """
+            select o_orderkey, epoch(o_orderdate)::bigint as created_epoch
+            from (select *, case when o_orderkey % 7 = 0 then o_orderdate end as next_retry_at
+                  from orders)
+            order by next_retry_at asc nulls first, o_orderdate asc, o_orderkey asc
+            limit 25
+        """,
+        "b04_history_pagination": """
+            select event_id, floor(epoch(ts))::bigint as ts_epoch, rn from (
+              select event_id, ts,
+                     row_number() over (order by ts desc, event_id desc) as rn
+              from events) where rn > 20 and rn <= 40
+        """,
+        "b05_latest_per_key": """
+            select user_id, event_type, event_id, round(value, 4) as value from (
+              select *, row_number() over (partition by user_id, event_type
+                                           order by ts desc, event_id desc) as rn
+              from events) where rn = 1
+        """,
+        "b06_count_by_status": """
+            select o_orderstatus as status, count(*) as n from orders group by 1
+        """,
+        "b07_grouped_agg": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(avg(l_discount), 6) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "b08_inner_join": """
+            select n_name, count(*) as n_orders, round(sum(o_totalprice), 2) as revenue
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            where c_mktsegment = 'BUILDING'
+            group by n_name
+        """,
+        "b09_anti_join_seen": """
+            select c_custkey, c_name from customer
+            where c_custkey not in
+              (select o_custkey from orders where o_orderstatus = 'P')
+        """,
+        "b10_retry_backoff": """
+            select event_id, attempt,
+                   case when attempt < 3 then 'pending' else 'failed' end as status,
+                   delay_s,
+                   floor(epoch(ts))::bigint + delay_s as next_retry_epoch
+            from (
+              select event_id, ts, (event_id % 5)::int as attempt,
+                     case when (event_id % 5) <= 1 then 60
+                          when (event_id % 5) = 2 then 300
+                          when (event_id % 5) = 3 then 1800
+                          else 3600 end as delay_s
+              from events)
+        """,
+        "b14_string_funcs": """
+            select doc_id, sha256(text) as content_hash, md5(text) as content_md5,
+                   length(text) as n_chars,
+                   substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40) as norm_prefix
+            from documents
+        """,
+        "b15_datetime": """
+            select event_id, floor(epoch(ts))::bigint as ts_epoch,
+                   floor(epoch(ts))::bigint + 300 as retry_5m_epoch,
+                   strftime(ts, '%Y-%m-%d') as day,
+                   hour(ts) as hr
+            from events
+        """,
+        "a12_change_detection": """
+            select event_id, user_id, event_type,
+                   (prev_value is null or prev_value != value) as changed
+            from (select *, lag(value) over (partition by user_id, event_type
+                                             order by ts, event_id) as prev_value
+                  from events)
+        """,
+        "a15_domain_filter": """
+            with urls as (
+              select doc_id,
+                     'https://' || source || '.example.org/d/' || doc_id as url
+              from documents
+            ), hosts as (
+              select doc_id, url, regexp_extract(url, '^https?://([^/]+)/', 1) as host
+              from urls
+            )
+            select doc_id, url, host from hosts
+            where host = 'src1.example.org' or host like '%.src1.example.org'
+               or host = 'src3.example.org' or host like '%.src3.example.org'
+               or host = 'example.net' or host like '%.example.net'
+        """,
+        "a16_seen_antijoin": """
+            with urls as (
+              select doc_id,
+                     'https://' || source || '.example.org/d/' || doc_id as url,
+                     md5('https://' || source || '.example.org/d/' || doc_id) as url_hash
+              from documents
+            )
+            select min(doc_id) as doc_id, min(url) as url, url_hash
+            from urls
+            where url_hash not in (select url_hash from urls where doc_id % 3 = 0)
+            group by url_hash
+        """,
+        "a17_budget_cap": """
+            select event_id, floor(epoch(ts))::bigint as ts_epoch
+            from events order by ts, event_id limit 50
+        """,
+        "a20_priority_frontier": """
+            select row_number() over (order by rn, event_type, event_id) as claim_pos,
+                   event_type, event_id, rn
+            from (select event_id, event_type,
+                         row_number() over (partition by event_type
+                                            order by ts, event_id) as rn
+                  from events)
+            qualify claim_pos <= 100
+        """,
+        "t01_token_count": f"""
+            select doc_id,
+                   len({_TOKS}) as n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as n_subtokens,
+                   length(text) as n_chars
+            from documents
+        """,
+        "t02_quality_score": _QUALITY_SQL,
+        "t03_lang_id": _LANG_SQL,
+        "t04_fingerprint": f"""
+            with sh as (
+              select doc_id, unnest(list_distinct({sh})) as s
+              from documents
+            )
+            select doc_id, md5(string_agg(smd5, '' order by smd5)) as fingerprint
+            from (select doc_id, md5(s) as smd5 from sh)
+            group by doc_id
+        """,
+        "d01_exact_dup_groups": """
+            select md5(substr(text, 1, 60)) as text_hash,
+                   count(*) as dup_count, min(doc_id) as keeper_id
+            from documents
+            group by 1 having count(*) > 1
+        """,
+        "d02_minhash_lsh": f"""
+            with docs as (
+              select doc_id, list_distinct({sh}) as shset
+              from documents where doc_id < 150
+            ), sigs as (
+              select doc_id, {minhash_sig}
+              from (select doc_id, unnest(shset) as sh from docs)
+              group by doc_id
+            ), buckets as (
+              select distinct doc_id, bucket
+              from (select doc_id, unnest([{bands}]) as bucket from sigs)
+            ), cand as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from buckets a join buckets b using (bucket)
+              where a.doc_id < b.doc_id
+            )
+            select id_a, id_b,
+                   round(len(list_intersect(da.shset, db.shset))::double
+                         / len(list_distinct(da.shset || db.shset)), 6) as jaccard
+            from cand
+            join docs da on da.doc_id = id_a
+            join docs db on db.doc_id = id_b
+            where len(list_intersect(da.shset, db.shset))::double
+                  / len(list_distinct(da.shset || db.shset)) >= 0.35
+        """,
+        "d03_ngram_jaccard": f"""
+            with docs as (
+              select doc_id, list_distinct({sh}) as shset
+              from documents where doc_id < 150
+            ), inv as (
+              select doc_id, unnest(shset) as shingle from docs
+            ), cand as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from inv a join inv b using (shingle)
+              where a.doc_id < b.doc_id
+            )
+            select id_a, id_b,
+                   round(len(list_intersect(da.shset, db.shset))::double
+                         / len(list_distinct(da.shset || db.shset)), 6) as jaccard
+            from cand
+            join docs da on da.doc_id = id_a
+            join docs db on db.doc_id = id_b
+            where len(list_intersect(da.shset, db.shset))::double
+                  / len(list_distinct(da.shset || db.shset)) >= 0.35
+        """,
+        "s01_ann_bruteforce": """
+            with q as (
+              select vec_id as query_id, embedding from embeddings where vec_id < 5
+            ), c as (
+              select vec_id, embedding from embeddings where vec_id >= 5
+            ), scored as (
+              select q.query_id, c.vec_id,
+                     list_dot_product(c.embedding::double[], q.embedding::double[])
+                     / (sqrt(list_dot_product(c.embedding::double[], c.embedding::double[]))
+                        * sqrt(list_dot_product(q.embedding::double[], q.embedding::double[])))
+                       as cosine
+              from c cross join q
+            )
+            select query_id, vec_id, rank, round(round(cosine, 6), 4) as cos4 from (
+              select *, row_number() over (partition by query_id
+                                           order by cosine desc, vec_id) as rank
+              from scored)
+            where rank <= 5
+        """,
+        # d04_simhash, s02_ann_lsh: non-SQL-expressible (xxhash64 / seeded
+        # hyperplanes) → rows-only driver check; semantics pinned in pytest.
+    }

@@ -1,0 +1,145 @@
+"""Text-analysis column builders for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python in the per-row path. Each has a matching
+DuckDB oracle in ``__spark_entry__.oracle_sql`` so the driver cross-checks
+values exactly.
+
+Ops: token counting, quality scoring (length/punct/stopword ratios),
+language ID (stopword-hit heuristic), document fingerprinting
+(shingle-set hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic; chosen to be unambiguous across the five corpus languages
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "une"],
+    "es": ["el", "los", "que", "una", "y"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "are",
+    "was", "it", "that", "this", "for", "with", "as", "at", "by",
+]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, r"\s+"))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish proxy: letter runs, digit runs, and individual symbols
+    each count as one token (a regex BPE stand-in; mirrors the reference's
+    ~4-chars/token proxy note at
+    /root/reference/crates/ares-client/examples/bench.rs:85-88).
+    Lookbehind-free so Spark (Java regex) and DuckDB (RE2) agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(col) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(col) -> Column:
+    """fraction of whitespace tokens that are English stopwords."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_EN)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality: enough length, low punctuation noise,
+    natural stopword density. Deterministic; same formula in the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 5.0)
+    stop = stopword_ratio(c)
+    stop_score = F.least(stop / F.lit(0.4), F.lit(1.0))
+    return F.round(0.4 * len_score + 0.3 * punct_pen + 0.3 * stop_score, 6)
+
+
+def _isin_filter(markers: list[str]):
+    # NOTE: must be a closure factory — a default-arg lambda
+    # (``lambda t, ms=markers:``) has arity 2, so Spark's higher-order
+    # functions would bind ms to the ELEMENT INDEX column
+    return lambda t: t.isin(markers)
+
+
+def lang_scores(col) -> list[tuple[str, Column]]:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        if lang == "zh":
+            c = F.col(col) if isinstance(col, str) else col
+            score = sum(
+                (F.length(c) - F.length(F.replace(c, F.lit(m), F.lit("")))) / F.length(F.lit(m))
+                for m in markers
+            )
+        else:
+            score = F.size(F.filter(toks, _isin_filter(markers)))
+        out.append((lang, score))
+    return out
+
+
+def lang_id(col) -> Column:
+    """Pick the language whose marker set scores highest (ties → lexicographic
+    language code order, 'und' if all zero)."""
+    scores = lang_scores(col)
+    # build struct array (score, negcode) and take max — deterministic ties
+    entries = F.array(
+        *[F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(
+            (x["score"] > acc["score"])
+            | ((x["score"] == acc["score"]) & (x["lang"] < acc["lang"]) & (acc["score"] > 0)),
+            x,
+        ).otherwise(acc),
+    )
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingle array (consecutive, space-joined, lowercased)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def doc_fingerprint(col, n: int = 3) -> Column:
+    """Order-insensitive shingle-set fingerprint: md5 of the sorted distinct
+    shingle md5s — a content-defined document identity for near-dup triage.
+    (md5 chosen because Spark and DuckDB md5 agree byte-for-byte.)"""
+    sh = F.array_sort(F.array_distinct(F.transform(shingles(col, n), F.md5)))
+    return F.md5(F.concat_ws("", sh))

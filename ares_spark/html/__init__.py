@@ -10,7 +10,13 @@ stack (htmd + scraper + url crates) on the fixture corpus — see
 
 from ares_spark.html.markdown import html_to_markdown
 from ares_spark.html.metadata import extract_metadata
-from ares_spark.html.cleaner import clean_html
+from ares_spark.html.cleaner import clean_html, process_html
 from ares_spark.html.links import discover_links
 
-__all__ = ["html_to_markdown", "extract_metadata", "clean_html", "discover_links"]
+__all__ = [
+    "html_to_markdown",
+    "extract_metadata",
+    "clean_html",
+    "process_html",
+    "discover_links",
+]

@@ -125,7 +125,11 @@ class MarkdownRenderer:
     # -- entry ---------------------------------------------------------------
 
     def render(self, html: str) -> str:
-        root = parse_html(html)
+        return self.render_tree(parse_html(html))
+
+    def render_tree(self, root: Node) -> str:
+        """Render a pre-parsed tree. NOTE: collapses whitespace in-place —
+        harvest attributes (metadata, links) BEFORE calling this."""
         _collapse_whitespace(root)
         out = self._render_children(root)
         out = re.sub(r"\n{3,}", "\n\n", out)

@@ -1,0 +1,220 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each a composition of built-in DataFrame ops (no Python in
+the row path), each with a DuckDB oracle in ``__spark_entry__``:
+
+- exact:        hash-groupBy on md5(text)
+- minhash LSH:  shingle → K minhashes → B bands → bucket join → candidate
+                pairs → exact-Jaccard confirm
+- ngram Jaccard: inverted shingle index join (only pairs sharing ≥1
+                shingle are scored — never the O(n²) cross join)
+- simhash:      64-bit sign-aggregated token hashes; Hamming-near buckets
+
+Scale notes: every join key is a hash/bucket → uniform shuffle; candidate
+generation is index-based so cost tracks true duplicate density, not n².
+All hashes are md5/xxhash64 derived so results are identical across
+cluster sizes and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ares_spark.functions.text import shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, dup_count, member ids,
+    keeper = min id). Only groups with >1 member."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per identical text (deterministic winner)."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """(id, sig: array<string>) — sig[k] = min over shingles of
+    md5(k || ':' || shingle). md5-based so DuckDB reproduces it exactly."""
+    def _minhash_k(k: int):
+        # closure factory: default-arg lambdas change the lambda's arity and
+        # make Spark pass the element index as the extra argument
+        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _minhash_k(k))) for k in range(num_hashes)]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH + exact-Jaccard confirmation.
+
+    bands of rows=num_hashes/bands; a pair is a candidate if any band's
+    minhash slice matches; candidates confirmed with exact shingle Jaccard
+    ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col("sig")[b * rows + r] for r in range(rows)]))
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    ).dropDuplicates([id_col, "bucket"])
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via inverted shingle index.
+
+    Pairs are generated ONLY for docs sharing ≥1 shingle (explode + self
+    join on shingle), then scored exactly. Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    inv = sh.select(F.col(id_col), F.col("sh"), F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens using xxhash64 bit votes.
+
+    For each of 64 bit positions, sum +1/-1 votes across token hashes;
+    bit set if the sum is positive. Pure built-ins: transform + aggregate.
+    """
+    toks = F.array_distinct(F.transform(tokens(text_col), lambda t: F.lower(t)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(b: int):
+        # closure factory (see _minhash_k): keep the aggregate merge lambda
+        # at arity 2 or Spark rejects/misbinds it
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(64)
+    ]
+    sim = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
+
+    Candidate generation: split the 64-bit hash into (max_hamming+1)
+    16-bit blocks — any pair within the distance must agree on ≥1 block
+    (pigeonhole) — then confirm with bit_count(xor)."""
+    sims = simhash64(df, text_col, id_col)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        (F.shiftright("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1))).cast("string"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("block"),
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), "block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,197 @@
+"""Schema-driven structured extraction (SURVEY.md A8), deterministic.
+
+The reference's extraction stage is a pluggable LLM call
+(/root/reference/crates/ares-client/src/llm.rs:137-243, anthropic.rs,
+candle.rs). In this rebuild the stage is an *interface*: any callable
+``(cleaned_text, schema) -> dict`` slots into the pipeline. The default
+implementation below is deterministic and network-free — it harvests
+values from the cleaned Markdown (the "Page metadata" preamble, headings,
+labeled key-value lines, link lists, number-near-keyword patterns), so the
+whole engine is reproducible and testable at scale. Fields it cannot
+ground are omitted; schema validation then gates persistence exactly like
+the reference (scrape.rs:222-232, 576-594).
+
+Canonical JSON for hashing: compact separators, sorted keys, UTF-8 —
+``data_hash = sha256(canonical_json)`` mirrors scrape.rs:235.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_META_LINE = re.compile(r"^- (URL|Title|Author|Published|Image|Description): (.*)$")
+_KV_LINE = re.compile(r"^(?:\* )?([A-Za-z][A-Za-z0-9 _/-]{0,40}?):\s+(.+)$")
+_LINK = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
+_H1 = re.compile(r"^# (.+)$", re.M)
+_NUM_RE = r"([0-9][0-9,]*)"
+
+
+class MarkdownContext:
+    """One parse of the cleaned markdown reused across all schema fields."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.meta: dict[str, str] = {}
+        self.kv: dict[str, str] = {}
+        # lists segmented into runs: (preceding_heading_lower, items, all_links)
+        self.lists: list[tuple[str, list[str], bool]] = []
+        self.paragraphs: list[str] = []
+        self.h1: str | None = None
+
+        in_meta = False
+        heading = ""
+        cur_items: list[str] | None = None
+        cur_all_links = True
+
+        def flush():
+            nonlocal cur_items, cur_all_links
+            if cur_items:
+                self.lists.append((heading, cur_items, cur_all_links))
+            cur_items, cur_all_links = None, True
+
+        for rawline in text.split("\n"):
+            line = rawline.rstrip()
+            if line == "## Page metadata":
+                in_meta = True
+                continue
+            if in_meta:
+                m = _META_LINE.match(line)
+                if m:
+                    self.meta[m.group(1)] = m.group(2)
+                    continue
+                in_meta = False
+            if re.match(r"^(\* |\d+\. )", line):
+                item = re.sub(r"^(\* |\d+\. )", "", line).strip()
+                if cur_items is None:
+                    cur_items = []
+                cur_items.append(_LINK.sub(r"\1", item))
+                if not _LINK.fullmatch(item):
+                    cur_all_links = False
+                kv = _KV_LINE.match(line[2:].strip() if line.startswith("* ") else item)
+                if kv:
+                    self.kv.setdefault(kv.group(1).strip().lower(), _LINK.sub(r"\1", kv.group(2)))
+                continue
+            flush()
+            if line.startswith("#"):
+                heading = line.lstrip("# ").strip().lower()
+                continue
+            if line and not line.startswith(("-", "|", ">", "`")):
+                self.paragraphs.append(_LINK.sub(r"\1", line))
+                kv = _KV_LINE.match(line)
+                if kv and len(kv.group(2).split()) <= 12:
+                    self.kv.setdefault(kv.group(1).strip().lower(), _LINK.sub(r"\1", kv.group(2)))
+        flush()
+        m = _H1.search(text)
+        self.h1 = m.group(1) if m else None
+
+    def list_for(self, prop: str, prefer_links: bool) -> list[str] | None:
+        """Best list for an array property: section-heading match first,
+        then the first all-links run (tags/topics shape), then nothing."""
+        want = prop.replace("_", " ").lower()
+        for heading, items, _ in self.lists:
+            if heading and (want in heading or heading in want):
+                return items
+        if prefer_links:
+            for _, items, all_links in self.lists:
+                if all_links:
+                    return items
+        return None
+
+    def number_near(self, keyword: str) -> int | None:
+        kw = re.escape(keyword)
+        m = re.search(_NUM_RE + r"\**\s+" + kw, self.text, re.I) or re.search(
+            kw + r"\S*\s*:?\s+\**" + _NUM_RE, self.text, re.I
+        )
+        if m:
+            return int(m.group(1).replace(",", ""))
+        return None
+
+
+# property-name aliases → MarkdownContext sources, tried in order
+_STRING_SOURCES: dict[str, tuple[str, ...]] = {
+    "url": ("meta:URL",),
+    "canonical_url": ("meta:URL",),
+    "title": ("meta:Title", "h1"),
+    "name": ("h1", "meta:Title"),
+    "headline": ("meta:Title", "h1"),
+    "author": ("meta:Author", "kv:by"),
+    "byline": ("meta:Author",),
+    "publish_date": ("meta:Published", "kv:published", "kv:publication date"),
+    "published": ("meta:Published",),
+    "date": ("meta:Published", "kv:date"),
+    "last_updated": ("kv:last commit", "kv:last updated", "meta:Published"),
+    "hero_image": ("meta:Image",),
+    "image": ("meta:Image",),
+    "image_url": ("meta:Image",),
+    "summary": ("first_paragraph", "meta:Description"),
+    "description": ("meta:Description", "first_paragraph"),
+    "readme_summary": ("last_paragraph", "meta:Description"),
+    "abstract": ("meta:Description", "first_paragraph"),
+    "language": ("kv:primary language", "kv:language"),
+    "license": ("kv:license",),
+}
+
+_ARRAY_LINKS = {"tags", "topics", "categories", "links"}
+
+_INT_KEYWORDS = {
+    "stars": "stars",
+    "forks": "forks",
+    "open_issues": "open issues",
+    "watchers": "watchers",
+}
+
+
+def _string_value(ctx: MarkdownContext, prop: str) -> str | None:
+    for source in _STRING_SOURCES.get(prop, (f"kv:{prop.replace('_', ' ')}",)):
+        kind, _, arg = source.partition(":")
+        if kind == "meta":
+            v = ctx.meta.get(arg)
+        elif kind == "kv":
+            v = ctx.kv.get(arg)
+        elif kind == "h1":
+            v = ctx.h1
+        elif kind == "first_paragraph":
+            v = ctx.paragraphs[0] if ctx.paragraphs else None
+        elif kind == "last_paragraph":
+            v = ctx.paragraphs[-1] if ctx.paragraphs else None
+        else:
+            v = None
+        if v:
+            return v
+    return None
+
+
+def extract_structured(text: str, schema: dict) -> dict:
+    """Deterministic (cleaned_markdown, json_schema) -> extracted dict.
+
+    Omits fields it cannot find — downstream validation decides whether
+    the row survives (required-field gating)."""
+    ctx = MarkdownContext(text)
+    out: dict = {}
+    for prop, spec in schema.get("properties", {}).items():
+        typ = spec.get("type")
+        if typ == "string":
+            v = _string_value(ctx, prop)
+            if v is not None:
+                out[prop] = v
+        elif typ in ("integer", "number"):
+            keyword = _INT_KEYWORDS.get(prop, prop.replace("_", " "))
+            n = ctx.number_near(keyword)
+            if n is not None:
+                out[prop] = n if typ == "integer" else float(n)
+        elif typ == "array":
+            # arrays always present (strict json_schema output shape):
+            # an LLM in strict mode emits [] when nothing is found
+            items = ctx.list_for(prop, prefer_links=prop in _ARRAY_LINKS)
+            out[prop] = list(items) if items else []
+        elif typ == "boolean":
+            kw = prop.replace("_", " ")
+            if re.search(rf"\b{re.escape(kw)}\b", text, re.I):
+                out[prop] = True
+    return out
+
+
+def canonical_json(value) -> str:
+    """Stable serialization for data_hash (scrape.rs:235 analog)."""
+    return json.dumps(value, separators=(",", ":"), sort_keys=True, ensure_ascii=False)

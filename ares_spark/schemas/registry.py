@@ -1,0 +1,64 @@
+"""Schema resolution: path | name@version | name@latest.
+
+Semantics of /root/reference/crates/ares-core/src/schema.rs:105-206:
+- bare name == ``name@latest``
+- ``latest`` resolves through the registry map, falling back to the
+  highest semantic version on disk (1.10.0 > 1.2.0 — schema.rs:413-438)
+- returns (schema_name, version, schema_dict)
+
+Driver-side only; the resolved dict rides into UDFs via closure capture
+(Spark broadcasts task closures) — no per-row resolution.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+_DEFAULT_DIR = Path(__file__).parent / "defs"
+
+_NUM = re.compile(r"\d+")
+
+
+def _version_key(v: str) -> tuple:
+    # semantic compare: split numeric fields; '1.10.0' > '1.2.0'
+    return tuple(int(m.group(0)) for m in _NUM.finditer(v))
+
+
+def compare_versions(a: str, b: str) -> int:
+    ka, kb = _version_key(a), _version_key(b)
+    return (ka > kb) - (ka < kb)
+
+
+class SchemaRegistry:
+    def __init__(self, root: str | Path | None = None):
+        self.root = Path(root) if root else _DEFAULT_DIR
+        reg = self.root / "registry.json"
+        self._latest: dict[str, str] = (
+            json.loads(reg.read_text()) if reg.exists() else {}
+        )
+
+    def list_versions(self, name: str) -> list[str]:
+        d = self.root / name
+        if not d.is_dir():
+            return []
+        versions = [p.stem for p in d.glob("*.json")]
+        return sorted(versions, key=_version_key)
+
+    def resolve(self, spec: str) -> tuple[str, str, dict]:
+        """spec = path | name | name@version | name@latest."""
+        p = Path(spec)
+        if spec.endswith(".json") and p.exists():
+            return p.parent.name or p.stem, p.stem, json.loads(p.read_text())
+        name, _, version = spec.partition("@")
+        if not version or version == "latest":
+            version = self._latest.get(name) or (
+                self.list_versions(name)[-1] if self.list_versions(name) else None
+            )
+            if version is None:
+                raise FileNotFoundError(f"no versions registered for schema '{name}'")
+        path = self.root / name / f"{version}.json"
+        if not path.exists():
+            raise FileNotFoundError(f"schema {name}@{version} not found at {path}")
+        return name, version, json.loads(path.read_text())

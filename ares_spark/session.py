@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what the sandbox provides (``local[32]``,
+single JVM); on a real cluster the same builder inherits the submitted
+master/executor config from ``spark-submit --py-files``. Scale knobs:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting —
+  the backstop behind our explicit salted-host partitioning.
+- Arrow on: every pandas UDF crosses Python<->JVM as Arrow batches
+  (BASELINE.json input_hint: "no per-row Python").
+- shuffle.partitions sized to cores in local mode rather than the 200
+  default, so sf0.1-scale benches don't drown in empty-partition overhead;
+  at cluster scale pass --conf spark.sql.shuffle.partitions explicitly
+  (rule of thumb: 2-3x total executor cores, or let AQE coalesce from a
+  higher initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ares_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("ARES_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
