@@ -403,6 +403,81 @@ def q_s02_ann_lsh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# C-series: cleaner byte-parity + crawl-order parity (the north_rule
+# invariants), golden-valued oracles
+# --------------------------------------------------------------------------
+
+_FIXDIR = "/root/reference/bench/fixtures"
+_GOLDEN_DIR = "tests/golden"
+_FIXTURES = [
+    "blog", "github_repo", "news_article", "product", "public_tender",
+    "recipe", "crawl/index", "crawl/post-backpressure", "crawl/post-ownership",
+]
+
+
+def q_c01_cleaner_fixtures(spark, sf_dir):
+    """A6 byte-identical cleaning: reference fixture corpus through the
+    vectorized cleaner UDF; sha256 + length pinned against goldens."""
+    from pathlib import Path
+
+    from ares_spark.operators.clean import clean_html_udf
+
+    rows = [(n, Path(f"{_FIXDIR}/{n}.html").read_bytes()) for n in _FIXTURES]
+    df = spark.createDataFrame(rows, "name string, html binary")
+    return df.select(
+        "name",
+        F.sha2(clean_html_udf(F.col("html")), 256).alias("text_sha256"),
+        F.length(clean_html_udf(F.col("html"))).alias("n_chars"),
+    )
+
+
+def q_c02_crawl_trace(spark, sf_dir):
+    """Crawl-order parity: BFS over the table-backed reference mini-site;
+    visit order + outcomes must equal the hand-derived serial-worker trace."""
+    import tempfile
+
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.crawl.checkpoint import SnapshotStore
+    from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
+
+    ckpt = tempfile.mkdtemp(prefix="ares_trace_")
+    run_crawl(
+        spark,
+        crawl_site_pages(spark),
+        [CRAWL_SEED_URL],
+        ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, use_bloom=False),
+        session_id="trace-session",
+    )
+    visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+    return visits.select("visit_pos", "url", "outcome").orderBy("visit_pos")
+
+
+def _c01_oracle() -> str:
+    """Golden VALUES oracle computed from the pinned tests/golden files."""
+    import hashlib
+    from pathlib import Path
+
+    vals = []
+    for n in _FIXTURES:
+        text = (Path(__file__).parent / _GOLDEN_DIR / f"{n}.md").read_text()
+        sha = hashlib.sha256(text.encode()).hexdigest()
+        vals.append(f"('{n}', '{sha}', {len(text)})")
+    return (
+        "select * from (values " + ", ".join(vals) + ") t(name, text_sha256, n_chars)"
+    )
+
+
+_C02_ORACLE = """
+    select * from (values
+      (0, 'https://blog.example.com/', 'completed'),
+      (1, 'https://blog.example.com/post-backpressure.html', 'completed'),
+      (2, 'https://blog.example.com/post-ownership.html', 'completed')
+    ) t(visit_pos, url, outcome)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -435,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": q_d04_simhash,
         "s01_ann_bruteforce": q_s01_ann_bruteforce,
         "s02_ann_lsh": q_s02_ann_lsh,
+        "c01_cleaner_fixtures": q_c01_cleaner_fixtures,
+        "c02_crawl_trace": q_c02_crawl_trace,
     }
 
 
@@ -730,6 +807,8 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             where rank <= 5
         """,
+        "c01_cleaner_fixtures": _c01_oracle(),
+        "c02_crawl_trace": _C02_ORACLE,
         # d04_simhash, s02_ann_lsh: non-SQL-expressible (xxhash64 / seeded
         # hyperplanes) → rows-only driver check; semantics pinned in pytest.
     }

@@ -1,0 +1,12 @@
+"""The URL-frontier crawl engine: BFS generation loop over snapshot tables.
+
+The Spark re-architecture of the reference's worker/queue
+(/root/reference/crates/ares-core/src/worker.rs, job_repository.rs):
+each BFS wave is one declarative DataFrame job; worker claim-races are
+replaced by deterministic sort order; Postgres state by checkpointed
+snapshot tables with per-partition lineage (north_rule).
+"""
+
+from ares_spark.crawl.loop import CrawlConfig, run_crawl, resume_crawl
+
+__all__ = ["CrawlConfig", "run_crawl", "resume_crawl"]

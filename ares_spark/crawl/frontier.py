@@ -1,0 +1,82 @@
+"""Frontier table schema + claim ordering (SURVEY.md A19-A22, B2, B4).
+
+The frontier is the Spark replacement for the ``scrape_jobs`` queue
+(/root/reference/crates/ares-db/migrations/002_scrape_jobs.sql): one row
+per job, state advanced by whole-generation batches instead of row locks.
+Determinism comes from ``created_seq`` — a dense global sequence assigned
+at enqueue time (seed order, then (parent claim position, link rank)) —
+which reproduces the serial worker's FIFO claim order
+(job_repository.rs:161-163) without any claim races.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),  # canonical form
+        T.StructField("url_hash", T.LongType(), False),  # xxhash64(url)
+        T.StructField("host", T.StringType(), True),
+        T.StructField("host_shard", T.IntegerType(), True),
+        T.StructField("schema_name", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),  # pending|completed|failed
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("max_retries", T.IntegerType(), False),
+        T.StructField("next_retry_at", T.DoubleType(), True),  # logical epoch s
+        T.StructField("created_seq", T.LongType(), False),
+        T.StructField("created_at", T.DoubleType(), False),
+        T.StructField("crawl_session_id", T.StringType(), True),
+        T.StructField("parent_job_id", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("max_depth", T.IntegerType(), False),
+        T.StructField("max_pages", T.IntegerType(), False),
+        T.StructField("allowed_domains", T.ArrayType(T.StringType()), True),
+        T.StructField("generation", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def claimable(frontier: DataFrame, batch_ts: float) -> DataFrame:
+    """B2: pending AND (next_retry_at IS NULL OR next_retry_at <= now)."""
+    return frontier.filter(
+        (F.col("status") == "pending")
+        & (F.col("next_retry_at").isNull() | (F.col("next_retry_at") <= F.lit(batch_ts)))
+    )
+
+
+def order_fifo(df: DataFrame) -> DataFrame:
+    """Reference claim order (job_repository.rs:161-163):
+    next_retry_at NULLS FIRST, then creation order."""
+    return df.withColumn(
+        "claim_pos",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("next_retry_at").asc_nulls_first(),
+                F.col("created_seq").asc(),
+            )
+        ),
+    )
+
+
+def order_host_rr(df: DataFrame) -> DataFrame:
+    """north_rule priority: host-aware round-robin with depth/score order —
+    rank within host by (depth, created_seq), interleave hosts by rank."""
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("next_retry_at").asc_nulls_first(), F.col("depth").asc(), F.col("created_seq").asc()
+    )
+    df = df.withColumn("host_rank", F.row_number().over(w_host))
+    w_global = Window.orderBy(F.col("host_rank"), F.col("host"), F.col("created_seq"))
+    return df.withColumn("claim_pos", F.row_number().over(w_global)).drop("host_rank")
+
+
+def retry_delay_expr(attempt_col="retry_count"):
+    """A22 backoff schedule: 60s / 300s / 1800s / 3600s (job.rs:60-94)."""
+    a = F.col(attempt_col) if isinstance(attempt_col, str) else attempt_col
+    return (
+        F.when(a <= 1, 60.0).when(a == 2, 300.0).when(a == 3, 1800.0).otherwise(3600.0)
+    )

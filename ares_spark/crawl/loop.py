@@ -1,0 +1,500 @@
+"""The BFS crawl generation loop (SURVEY.md §3.2, M3/M4).
+
+One iteration = one frontier generation:
+
+    claim     pending ∧ retry-due, ordered (FIFO parity | host-RR scale),
+              capped by per-host politeness budgets + circuit breaker
+    fetch     batch ⋈ pages on url (the sandbox "fetch"; a live crawler
+              swaps this join for an HTTP mapInPandas stage)
+    extract   clean → hash → extract → validate → ground (pipeline ops)
+    spider    links → domain filter → robots → seen-dedup → budget cap
+              → next-generation children with deterministic created_seq
+    persist   frontier/url_seen snapshots + extraction/visit appends +
+              lineage manifest (per host-shard counters) → resumable
+
+Determinism: with cfg.ordering='fifo' and no politeness caps the visit
+order equals the reference's serial worker trace (FIFO claim by
+(next_retry_at NULLS FIRST, created_seq) + alphabetically sorted link
+emission) — asserted against the reference crawl fixture in
+tests/test_crawl_loop.py. The loop never collects row data to the driver
+beyond per-host/shard counters (bounded by distinct hosts per batch).
+
+Scale: every per-generation stage is a bounded number of shuffles:
+claim ordering (1 window), fetch join (co-partitioned on url), seen
+anti-join (Bloom-prefiltered, hash-partitioned), child ranking (1 window).
+Hot-domain skew is defeated by salting: batch processing repartitions by
+(host_shard, salt) before the html-parsing UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ares_spark.crawl.breaker import CircuitBreaker
+from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.crawl.frontier import (
+    FRONTIER_SCHEMA,
+    claimable,
+    order_fifo,
+    order_host_rr,
+    retry_delay_expr,
+)
+from ares_spark.crawl.robots import RobotsMatcher
+from ares_spark.crawl.seen import filter_unseen, host_shard_col, url_hash_col
+from ares_spark.functions.urls import canonicalize_url, url_host
+from ares_spark.operators.clean import process_pages
+from ares_spark.operators.pipeline import extract_distinct
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("crawl_session_id", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host_shard", T.IntegerType()),
+        T.StructField("created_at", T.DoubleType()),
+    ]
+)
+
+_HOST_RE = r"^https?://(?:[^@/]*@)?([^/:?#]+)"
+
+
+@dataclass
+class CrawlConfig:
+    schema_spec: str = "blog@latest"
+    max_depth: int = 1  # CLI default (crates/ares-cli/src/main.rs:402)
+    max_pages: int = 100  # CrawlConfig default (crawl.rs:22-32)
+    max_retries: int = 3
+    allowed_domains: list[str] = field(default_factory=list)
+    ordering: str = "fifo"  # fifo (reference parity) | host_rr (north_rule)
+    per_host_budget: int | None = None  # politeness cap per generation
+    politeness_window_s: float = 60.0  # generation ≈ one politeness window
+    max_generations: int = 64
+    batch_interval_s: float = 1.0
+    use_bloom: bool = True
+    n_shards: int = 64
+    salt_partitions: int | None = None  # repartition width for the UDF stage
+    breaker: dict = field(default_factory=dict)
+    model: str = "deterministic-extractor-v1"
+
+
+def seed_frontier(
+    spark: SparkSession, seed_urls: list[str], cfg: CrawlConfig, session_id: str, t0: float
+) -> DataFrame:
+    """Seed jobs (depth 0). NOTE the reference quirk: seeds are NOT marked
+    visited (main.rs:784-798) — a child linking back re-enqueues them once."""
+    rows = []
+    for i, u in enumerate(seed_urls):
+        cu = canonicalize_url(u)
+        if cu is None:
+            continue
+        rows.append(
+            {
+                "job_id": f"seed-{session_id[:8]}-{i}",
+                "url": cu,
+                "host": url_host(cu),
+                "schema_name": cfg.schema_spec,
+                "status": "pending",
+                "retry_count": 0,
+                "max_retries": cfg.max_retries,
+                "next_retry_at": None,
+                "created_seq": i,
+                "created_at": t0,
+                "crawl_session_id": session_id,
+                "parent_job_id": None,
+                "depth": 0,
+                "max_depth": cfg.max_depth,
+                "max_pages": cfg.max_pages,
+                "allowed_domains": list(cfg.allowed_domains),
+                "generation": 0,
+                "error": None,
+            }
+        )
+    base = T.StructType(
+        [f for f in FRONTIER_SCHEMA.fields if f.name not in ("url_hash", "host_shard")]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=[f.name for f in base.fields]), base)
+    return (
+        df.withColumn("url_hash", url_hash_col("url"))
+        .withColumn("host_shard", host_shard_col("host", cfg.n_shards))
+        .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+def _robots_filter_col(spark, robots_raw: dict[str, str], url_col="link"):
+    """Vectorized robots check (A5): raw robots.txt texts broadcast, parsed
+    once per executor batch, matched per link. Missing host → allow."""
+    bc = spark.sparkContext.broadcast(robots_raw)
+
+    @pandas_udf("boolean")
+    def allowed(urls: pd.Series) -> pd.Series:
+        compiled: dict[str, RobotsMatcher | None] = {}
+        raw = bc.value
+
+        def check(u):
+            if not u:
+                return False
+            h = url_host(u)
+            if h not in raw:
+                return True
+            m = compiled.get(h)
+            if m is None:
+                m = RobotsMatcher.parse(raw[h])
+                compiled[h] = m
+            return m.is_allowed(u)
+
+        return urls.map(check)
+
+    return allowed(F.col(url_col))
+
+
+class CrawlState:
+    def __init__(self, store, frontier, seen, batch_ts, seq_base, visit_base, breaker, generation):
+        self.store = store
+        self.frontier = frontier
+        self.seen = seen
+        self.batch_ts = batch_ts
+        self.seq_base = seq_base
+        self.visit_base = visit_base
+        self.breaker = breaker
+        self.generation = generation
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_urls: list[str],
+    checkpoint_dir: str,
+    cfg: CrawlConfig | None = None,
+    robots_raw: dict[str, str] | None = None,
+    schema: dict | None = None,
+    session_id: str | None = None,
+) -> dict:
+    """Run a crawl session to completion (or max_generations). Returns the
+    summary dict of the final manifest."""
+    cfg = cfg or CrawlConfig()
+    session_id = session_id or str(uuid.uuid4())
+    store = SnapshotStore(checkpoint_dir)
+    if schema is None:
+        from ares_spark.schemas import SchemaRegistry
+
+        _, _, schema = SchemaRegistry().resolve(cfg.schema_spec)
+    t0 = 0.0
+    frontier = seed_frontier(spark, seed_urls, cfg, session_id, t0)
+    seen = spark.createDataFrame([], SEEN_SCHEMA)
+    state = CrawlState(store, frontier, seen, t0, len(seed_urls), 0, CircuitBreaker(**cfg.breaker), 0)
+    # persist config for resume
+    (store.root / "config.json").write_text(
+        json.dumps({"cfg": cfg.__dict__, "session_id": session_id, "schema": schema})
+    )
+    return _drive(spark, pages, state, cfg, robots_raw or {}, schema, session_id)
+
+
+def resume_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    checkpoint_dir: str,
+    robots_raw: dict[str, str] | None = None,
+) -> dict:
+    """Resume a killed crawl from its last published manifest (north_rule:
+    any run is resumable mid-crawl from snapshot + lineage)."""
+    store = SnapshotStore(checkpoint_dir)
+    meta = json.loads((store.root / "config.json").read_text())
+    cfg = CrawlConfig(**meta["cfg"])
+    g = store.latest_generation()
+    if g is None:
+        raise FileNotFoundError("no manifest to resume from")
+    man = store.read_manifest(g)
+    state = CrawlState(
+        store,
+        store.read_snapshot(spark, "frontier", g),
+        store.read_snapshot(spark, "url_seen", g),
+        man["batch_ts"],
+        man["seq_base"],
+        man["visit_base"],
+        CircuitBreaker.from_dict(man["breaker"]),
+        g + 1,
+    )
+    return _drive(spark, pages, state, cfg, robots_raw or {}, meta["schema"], meta["session_id"])
+
+
+def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
+    last_summary = {"generations": state.generation, "session_id": session_id}
+    while state.generation < cfg.max_generations:
+        claim = claimable(state.frontier, state.batch_ts)
+        if claim.limit(1).count() == 0:
+            # time-warp to the earliest retry, like an injected test clock
+            nxt = state.frontier.filter(F.col("status") == "pending").agg(
+                F.min("next_retry_at")
+            ).first()[0]
+            if nxt is None:
+                break
+            state.batch_ts = float(nxt)
+            continue
+        last_summary = _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id)
+    return last_summary
+
+
+def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
+    g = state.generation
+    cfg_order = order_fifo if cfg.ordering == "fifo" else order_host_rr
+    batch = cfg_order(claimable(state.frontier, state.batch_ts))
+
+    # --- politeness + breaker caps (per host) --------------------------------
+    budgets: dict[str, int] = {}
+    hosts = [r.host for r in batch.select("host").distinct().collect()]
+    for h in hosts:
+        cap = state.breaker.claim_budget(h, g)
+        pb = cfg.per_host_budget
+        if robots_raw.get(h):
+            delay = RobotsMatcher.parse(robots_raw[h]).crawl_delay()
+            if delay and delay > 0:
+                rb = max(1, int(cfg.politeness_window_s / delay))
+                pb = rb if pb is None else min(pb, rb)
+        eff = min(x for x in (cap, pb) if x is not None) if (cap is not None or pb is not None) else None
+        if eff is not None:
+            budgets[h] = eff
+    if budgets:
+        w_host = Window.partitionBy("host").orderBy("claim_pos")
+        budget_map = F.create_map(
+            *[x for h, b in budgets.items() for x in (F.lit(h), F.lit(b))]
+        )
+        batch = (
+            batch.withColumn("__hrn", F.row_number().over(w_host))
+            .withColumn("__budget", budget_map[F.col("host")])
+            .filter(F.col("__budget").isNull() | (F.col("__hrn") <= F.col("__budget")))
+            .drop("__hrn", "__budget")
+        )
+
+    # --- fetch (join against the pages table) --------------------------------
+    salt_n = cfg.salt_partitions or spark.sparkContext.defaultParallelism
+    fetched = (
+        batch.join(pages.select("url", "html"), "url", "left")
+        # salted-host repartition: spread a hot host across all tasks before
+        # the CPU-heavy parse stage (north_rule skew handling)
+        .repartition(salt_n, F.col("host_shard"), F.pmod(F.col("url_hash"), F.lit(salt_n)))
+        .cache()
+    )
+    found = fetched.filter(F.col("html").isNotNull())
+    missing = fetched.filter(F.col("html").isNull())
+
+    # --- extract --------------------------------------------------------------
+    processed = process_pages(found).cache()
+    results = extract_distinct(
+        processed.select("content_hash", "text").dropDuplicates(["content_hash"]), schema
+    )
+    extractions = (
+        processed.join(results, "content_hash", "left")
+        .withColumn("schema_name", F.lit(cfg.schema_spec))
+        .withColumn("model", F.lit(cfg.model))
+        .withColumn("data_hash", F.sha2(F.col("extracted_data"), 256))
+        .withColumn("created_at", F.lit(state.batch_ts))
+        .withColumn("generation", F.lit(g))
+        .select(
+            "job_id", "url", "schema_name", "extracted_data", "content_hash",
+            "data_hash", "model", "is_valid", "validation_errors",
+            "ungrounded_paths", "created_at", "generation", "claim_pos",
+        )
+    )
+    state.store.append_batch(extractions.filter(F.col("is_valid")), "extractions", g)
+
+    # --- visit log (claim events, reference trace order) ----------------------
+    visits = fetched.select(
+        (F.lit(state.visit_base) + F.col("claim_pos") - 1).alias("visit_pos"),
+        "url",
+        F.when(F.col("html").isNotNull(), "completed").otherwise("fetch_error").alias("outcome"),
+        F.lit(g).alias("generation"),
+    )
+    state.store.append_batch(visits, "visits", g)
+
+    # --- spider: next-generation children -------------------------------------
+    spider_src = processed.filter(
+        F.col("crawl_session_id").isNotNull() & (F.col("depth") < F.col("max_depth"))
+    )
+    kids = (
+        spider_src.select(
+            "claim_pos", "job_id", "depth", "max_depth", "max_pages",
+            "allowed_domains", "url",
+            F.posexplode("links").alias("link_rank", "link"),
+        )
+        .withColumn("link_host", F.regexp_extract("link", _HOST_RE, 1))
+        # A15 domain filter; empty allowed_domains defaults to the PARENT
+        # job's own host (worker.rs:293-301)
+        .withColumn(
+            "eff_allowed",
+            F.when(
+                F.size("allowed_domains") > 0, F.col("allowed_domains")
+            ).otherwise(F.array(F.regexp_extract("url", _HOST_RE, 1))),
+        )
+        .filter(
+            F.exists(
+                "eff_allowed",
+                lambda d: (F.col("link_host") == d)
+                | F.col("link_host").endswith(F.concat(F.lit("."), d)),
+            )
+        )
+    )
+    if robots_raw:
+        kids = kids.filter(_robots_filter_col(spark, robots_raw, "link"))
+
+    kids = kids.withColumn("link_hash", F.xxhash64("link")).withColumn(
+        "host_shard", host_shard_col("link_host", cfg.n_shards)
+    )
+    # within-batch dedup: first occurrence in claim order wins (A16 ON
+    # CONFLICT semantics under a deterministic order)
+    w_dup = Window.partitionBy("link_hash").orderBy("claim_pos", "link_rank")
+    kids = kids.withColumn("__dup_rn", F.row_number().over(w_dup)).filter(
+        F.col("__dup_rn") == 1
+    )
+    # A16 seen-set anti-join (Bloom tier + exact backstop)
+    fresh = filter_unseen(
+        kids.withColumnRenamed("link_hash", "url_hash"),
+        state.seen,
+        spark=spark,
+        use_bloom=cfg.use_bloom,
+    )
+    # A17 max_pages: budget over *visited* count, deterministic order
+    visited = state.seen.count()
+    budget_left = max(cfg.max_pages - visited, 0)
+    w_order = Window.orderBy("claim_pos", "link_rank")
+    fresh = (
+        fresh.withColumn("__rank", F.row_number().over(w_order))
+        .filter(F.col("__rank") <= budget_left)
+    )
+    children = fresh.select(
+        F.md5(F.concat_ws(":", F.lit(session_id), (F.lit(state.seq_base) + F.col("__rank") - 1), "link")).alias("job_id"),
+        F.col("link").alias("url"),
+        F.col("url_hash"),
+        F.col("link_host").alias("host"),
+        F.col("host_shard"),
+        F.lit(cfg.schema_spec).alias("schema_name"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("retry_count"),
+        F.lit(cfg.max_retries).alias("max_retries"),
+        F.lit(None).cast("double").alias("next_retry_at"),
+        (F.lit(state.seq_base) + F.col("__rank") - 1).alias("created_seq"),
+        F.lit(state.batch_ts).alias("created_at"),
+        F.lit(session_id).alias("crawl_session_id"),
+        F.col("job_id").alias("parent_job_id"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("max_depth"),
+        F.col("max_pages"),
+        F.col("allowed_domains"),
+        F.lit(g + 1).alias("generation"),
+        F.lit(None).cast("string").alias("error"),
+    ).cache()
+    n_children = children.count()
+
+    # --- frontier state transitions (A21/A22) ---------------------------------
+    completed = found.select("job_id").withColumn("__new_status", F.lit("completed"))
+    failed_retry = missing.select("job_id", "retry_count", "max_retries").withColumn(
+        "__attempt", F.col("retry_count") + 1
+    )
+    frontier_cols = [f.name for f in FRONTIER_SCHEMA.fields]
+    updated = (
+        state.frontier.join(
+            completed.unionByName(
+                failed_retry.select("job_id", F.lit("__retry").alias("__new_status"))
+            ),
+            "job_id",
+            "left",
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("__new_status") == "completed", "completed")
+            .when(
+                (F.col("__new_status") == "__retry")
+                & (F.col("retry_count") + 1 < F.col("max_retries")),
+                "pending",
+            )
+            .when(F.col("__new_status") == "__retry", "failed")
+            .otherwise(F.col("status")),
+        )
+        .withColumn(
+            "retry_count",
+            F.when(F.col("__new_status") == "__retry", F.col("retry_count") + 1).otherwise(
+                F.col("retry_count")
+            ),
+        )
+        .withColumn(
+            "next_retry_at",
+            F.when(
+                (F.col("__new_status") == "__retry") & (F.col("status") == "pending"),
+                F.lit(state.batch_ts) + retry_delay_expr("retry_count"),
+            ).otherwise(F.when(F.col("status") == "pending", F.col("next_retry_at"))),
+        )
+        .withColumn(
+            "error",
+            F.when(F.col("__new_status") == "__retry", F.lit("fetch_error: url not in pages")).otherwise(
+                F.col("error")
+            ),
+        )
+        .select(*frontier_cols)
+    )
+    next_frontier = updated.unionByName(children.select(*frontier_cols))
+
+    new_seen = children.select(
+        F.lit(session_id).alias("crawl_session_id"),
+        "url_hash",
+        "url",
+        "host_shard",
+        F.lit(state.batch_ts).alias("created_at"),
+    )
+    next_seen = state.seen.unionByName(new_seen)
+
+    # --- lineage + snapshots ----------------------------------------------------
+    shard_stats = {
+        int(r.host_shard): {"fetched": r.fetched, "errors": r.errors}
+        for r in fetched.groupBy("host_shard")
+        .agg(
+            F.sum(F.col("html").isNotNull().cast("int")).alias("fetched"),
+            F.sum(F.col("html").isNull().cast("int")).alias("errors"),
+        )
+        .collect()
+    }
+    host_stats = fetched.groupBy("host").agg(
+        F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
+        F.sum(F.col("html").isNull().cast("int")).alias("err"),
+    ).collect()
+    for r in host_stats:
+        state.breaker.record(r.host, int(r.ok), int(r.err), g)
+
+    n_batch = fetched.count()
+    state.store.write_snapshot(next_frontier, "frontier", g)
+    state.store.write_snapshot(next_seen, "url_seen", g)
+    summary = {
+        "generation": g,
+        "session_id": session_id,
+        "batch_ts": state.batch_ts + cfg.batch_interval_s,
+        "claimed": n_batch,
+        "completed": int(sum(s["fetched"] for s in shard_stats.values())),
+        "errors": int(sum(s["errors"] for s in shard_stats.values())),
+        "new_children": int(n_children),
+        "seen_total": visited + int(n_children),
+        "seq_base": state.seq_base + int(n_children),
+        "visit_base": state.visit_base + n_batch,
+        "shards": shard_stats,
+        "breaker": state.breaker.to_dict(),
+    }
+    state.store.write_manifest(g, summary)
+
+    fetched.unpersist()
+    processed.unpersist()
+    children.unpersist()
+
+    # re-read snapshots: truncates the iterative lineage (plan growth is the
+    # classic iterative-Spark failure mode) and makes resume path == hot path
+    state.frontier = state.store.read_snapshot(spark, "frontier", g)
+    state.seen = state.store.read_snapshot(spark, "url_seen", g)
+    state.batch_ts += cfg.batch_interval_s
+    state.seq_base = summary["seq_base"]
+    state.visit_base = summary["visit_base"]
+    state.generation = g + 1
+    return summary

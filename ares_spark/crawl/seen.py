@@ -1,0 +1,261 @@
+"""URL-seen set: partitioned Bloom pre-filter + exact anti-join backstop,
+with a cuckoo-filter fallback where deletions are needed (north_rule).
+
+Reference semantics: INSERT … ON CONFLICT DO NOTHING on
+(session_id, sha256(url)) — /root/reference/crates/ares-db/src/
+job_repository.rs:364-380. The rebuild keys on ``xxhash64(canonical_url)``
+per BASELINE.json north_rule and makes membership two-tier:
+
+1. per-host-shard Bloom bitmaps (built distributed via groupBy shard +
+   JVM-side aggregation into positions; probed vectorized) drop the vast
+   majority of already-seen candidates WITHOUT shuffling them against the
+   full seen table;
+2. survivors go through an exact left-anti join — the correctness
+   backstop, so Bloom false positives can only cause extra work on tier 2,
+   never a wrong result. (A Bloom "maybe-seen" that is actually new is
+   rescued by the exact join; a Bloom "definitely-new" skips the join.)
+
+At 10^10 URLs the seen table is the biggest state; the Bloom tier turns
+the per-generation anti-join from (candidates ⋈ 10^10 rows) into
+(candidates ⋈ seen-partition-pruned) with bitmaps sized ~1.2 GB/10^9 keys
+at 1% fpp, sharded by host so each executor holds only its shards.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- column helpers -----------------------------------------------------------
+
+
+def url_hash_col(url_col="url"):
+    """xxhash64 over the (already canonicalized) URL — the seen-set key."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.xxhash64(c)
+
+
+def host_shard_col(host_col="host", n_shards: int = 64):
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    return F.pmod(F.xxhash64(c), F.lit(n_shards)).cast("int")
+
+
+# -- Bloom filter --------------------------------------------------------------
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over int64 keys (numpy bitmap).
+
+    k hash functions derived from the key by mixing with distinct odd
+    multipliers (splitmix-style), so membership tests run as pure numpy
+    array ops — no per-row Python when probing an Arrow batch.
+    """
+
+    _MIXERS = np.array(
+        [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93,
+         0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        self.n_bits = int(n_bits)
+        self.n_hashes = int(n_hashes)
+        self.bits = bits if bits is not None else np.zeros((self.n_bits + 7) // 8, dtype=np.uint8)
+
+    @classmethod
+    def sized(cls, n_items: int, fpp: float = 0.01) -> "BloomFilter":
+        n_items = max(n_items, 1)
+        n_bits = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        n_hashes = max(1, min(8, round(n_bits / n_items * math.log(2))))
+        return cls(n_bits, n_hashes)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64, copy=False)
+        mix = self._MIXERS[: self.n_hashes]
+        h = k[:, None] * mix[None, :]
+        h ^= h >> np.uint64(31)
+        return (h % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, keys) -> None:
+        pos = self._positions(np.asarray(keys, dtype=np.int64)).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        byte = self.bits[pos >> 3]
+        return ((byte >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.n_bits, self.n_hashes], dtype=np.int64).tobytes()
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BloomFilter":
+        n_bits, n_hashes = np.frombuffer(raw[:16], dtype=np.int64)
+        return cls(int(n_bits), int(n_hashes), np.frombuffer(raw[16:], dtype=np.uint8).copy())
+
+
+def build_shard_blooms(
+    seen: DataFrame, hash_col: str = "url_hash", shard_col: str = "host_shard",
+    fpp: float = 0.01,
+) -> dict[int, bytes]:
+    """Build one Bloom bitmap per host shard, distributed: keys are
+    collected per shard partition via mapInPandas (Arrow batches), the
+    bitmaps OR-merged on the driver. Returns {shard: serialized bloom}."""
+    import pandas as pd
+
+    counts = {r[shard_col]: r["n"] for r in
+              seen.groupBy(shard_col).agg(F.count("*").alias("n")).collect()}
+
+    def build(batches):
+        acc: dict[int, BloomFilter] = {}
+        sizes = counts
+        for pdf in batches:
+            for shard, grp in pdf.groupby(shard_col):
+                bf = acc.get(shard)
+                if bf is None:
+                    bf = BloomFilter.sized(sizes.get(shard, 1024), fpp)
+                    acc[shard] = bf
+                bf.add(grp[hash_col].to_numpy())
+        yield pd.DataFrame(
+            {"shard": list(acc), "bloom": [b.to_bytes() for b in acc.values()]}
+        )
+
+    parts = (
+        seen.select(shard_col, hash_col)
+        .repartition(shard_col)
+        .mapInPandas(build, schema="shard int, bloom binary")
+        .collect()
+    )
+    merged: dict[int, BloomFilter] = {}
+    for row in parts:
+        bf = BloomFilter.from_bytes(bytes(row.bloom))
+        if row.shard in merged:
+            merged[row.shard].bits |= bf.bits
+        else:
+            merged[row.shard] = bf
+    return {s: b.to_bytes() for s, b in merged.items()}
+
+
+def bloom_maybe_seen_col(spark, blooms: dict[int, bytes], hash_col="url_hash",
+                         shard_col="host_shard"):
+    """Vectorized probe column: True = maybe seen (needs exact check),
+    False = definitely new. Bitmaps ride to executors via broadcast."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @pandas_udf("boolean")
+    def probe(hashes: pd.Series, shards: pd.Series) -> pd.Series:
+        local = {s: BloomFilter.from_bytes(raw) for s, raw in bc.value.items()}
+        out = np.zeros(len(hashes), dtype=bool)
+        h = hashes.to_numpy()
+        sh = shards.to_numpy()
+        for s in np.unique(sh):
+            bf = local.get(int(s))
+            if bf is None:
+                continue  # no seen rows in this shard yet → all new
+            m = sh == s
+            out[m] = bf.might_contain(h[m])
+        return pd.Series(out)
+
+    return probe(F.col(hash_col), F.col(shard_col))
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    spark=None,
+    use_bloom: bool = True,
+    bloom_min_seen: int = 10_000,
+    hash_col: str = "url_hash",
+    shard_col: str = "host_shard",
+) -> DataFrame:
+    """candidates minus seen (A16): Bloom pre-filter when the seen set is
+    big enough to pay for bitmap construction, exact anti-join always."""
+    if use_bloom and spark is not None:
+        approx_seen = seen.limit(bloom_min_seen + 1).count()
+        if approx_seen > bloom_min_seen:
+            blooms = build_shard_blooms(seen, hash_col, shard_col)
+            maybe = bloom_maybe_seen_col(spark, blooms, hash_col, shard_col)
+            candidates = candidates.withColumn("__maybe_seen", maybe)
+            new_fast = candidates.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+            suspects = candidates.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+            rescued = suspects.join(seen.select(hash_col), hash_col, "left_anti")
+            return new_fast.unionByName(rescued)
+    return candidates.join(seen.select(hash_col), hash_col, "left_anti")
+
+
+# -- cuckoo fallback ------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Small cuckoo filter (4-slot buckets, 16-bit fingerprints) — the
+    deletion-capable fallback the north_rule asks for (e.g. evicting URLs
+    scheduled for recrawl from the seen set). Driver/executor-local."""
+
+    def __init__(self, capacity: int, max_kicks: int = 500):
+        self.n_buckets = max(1, 1 << (capacity.bit_length()))
+        self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)
+        self.max_kicks = max_kicks
+        self._rng_state = 0x9E3779B97F4A7C15
+
+    _M64 = (1 << 64) - 1
+
+    def _fp(self, key: int) -> int:
+        fp = ((key & self._M64) * 0xBF58476D1CE4E5B9 & self._M64) >> 48
+        return fp or 1  # 0 means empty slot
+
+    def _idx(self, key: int) -> int:
+        return (key & self._M64) % self.n_buckets
+
+    def _alt(self, idx: int, fp: int) -> int:
+        h = fp * 0x5BD1E9955BD1E995 & self._M64
+        return (idx ^ h) % self.n_buckets
+
+    def _insert_at(self, idx: int, fp: int) -> bool:
+        row = self.table[idx]
+        empty = np.nonzero(row == 0)[0]
+        if empty.size:
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def add(self, key: int) -> bool:
+        fp = self._fp(key)
+        i1 = self._idx(key)
+        i2 = self._alt(i1, fp)
+        if self._insert_at(i1, fp) or self._insert_at(i2, fp):
+            return True
+        idx = i1
+        for _ in range(self.max_kicks):
+            self._rng_state = (self._rng_state * 6364136223846793005 + 1) & self._M64
+            slot = (self._rng_state >> 60) & 3
+            fp, self.table[idx][slot] = int(self.table[idx][slot]), fp
+            idx = self._alt(idx, fp)
+            if self._insert_at(idx, fp):
+                return True
+        return False  # table full
+
+    def contains(self, key: int) -> bool:
+        fp = self._fp(key)
+        i1 = self._idx(key)
+        i2 = self._alt(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp = self._fp(key)
+        for idx in (self._idx(key), self._alt(self._idx(key), fp)):
+            row = self.table[idx]
+            hit = np.nonzero(row == fp)[0]
+            if hit.size:
+                row[hit[0]] = 0
+                return True
+        return False

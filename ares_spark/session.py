@@ -17,9 +17,32 @@ master/executor config from ``spark-submit --py-files``. Scale knobs:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the ares_spark package for shipment to executors — the
+    programmatic equivalent of ``spark-submit --py-files ares_spark.zip``.
+    Content-addressed so repeated sessions reuse the same archive."""
+    pkg_dir = Path(__file__).resolve().parent
+    digest = hashlib.sha256()
+    files = sorted(p for p in pkg_dir.rglob("*") if p.suffix in (".py", ".json"))
+    for p in files:
+        digest.update(str(p.relative_to(pkg_dir)).encode())
+        digest.update(p.read_bytes())
+    out = Path(os.environ.get("TMPDIR", "/tmp")) / f"ares_spark-{digest.hexdigest()[:16]}.zip"
+    if not out.exists():
+        tmp = out.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for p in files:
+                zf.write(p, f"ares_spark/{p.relative_to(pkg_dir)}")
+        tmp.rename(out)
+    return str(out)
 
 
 def get_spark(
@@ -51,4 +74,6 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package to executor Python workers regardless of cwd/cluster
+    spark.sparkContext.addPyFile(_package_zip())
     return spark

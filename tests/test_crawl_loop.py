@@ -1,0 +1,195 @@
+"""M3: BFS crawl loop — trace parity with the reference's serial worker.
+
+The expected trace is hand-derived from the reference semantics on its own
+crawl fixture (/root/reference/bench/fixtures/crawl/): single worker, FIFO
+claim by (next_retry_at NULLS FIRST, created_at) (job_repository.rs:161),
+links emitted sorted (link_discovery.rs:59-60), children only while
+depth < max_depth (worker.rs:286-289), seed never marked visited
+(main.rs:784-798), seen-set insert for discovered children only
+(worker.rs:356-387).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ares_spark.crawl import CrawlConfig, resume_crawl, run_crawl
+from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
+
+SEED = CRAWL_SEED_URL
+POSTS = [
+    "https://blog.example.com/post-backpressure.html",
+    "https://blog.example.com/post-ownership.html",
+]
+
+
+def _visits(spark, ckpt):
+    df = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+    return [(r.visit_pos, r.url, r.outcome) for r in df.orderBy("visit_pos").collect()]
+
+
+@pytest.fixture(scope="module")
+def site(spark):
+    return crawl_site_pages(spark).cache()
+
+
+def test_depth1_trace(spark, site, tmp_path_factory):
+    """Reference trace, max_depth=1: visit index then the two posts
+    (alphabetical), tag links NOT followed (depth cap), seen set = posts."""
+    ckpt = str(tmp_path_factory.mktemp("crawl_d1"))
+    summary = run_crawl(
+        spark, site, [SEED], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, max_pages=100, use_bloom=False),
+    )
+    visits = _visits(spark, ckpt)
+    assert [(v[0], v[1]) for v in visits] == [(0, SEED), (1, POSTS[0]), (2, POSTS[1])]
+    assert all(v[2] == "completed" for v in visits)
+    seen = SnapshotStore(ckpt).read_snapshot(
+        spark, "url_seen", summary["generation"]
+    )
+    assert sorted(r.url for r in seen.collect()) == POSTS  # seed NOT in seen
+    ex = SnapshotStore(ckpt).read_all_batches(spark, "extractions")
+    # validation gating (A9): the two posts satisfy the blog schema; the
+    # index page (no author/publish_date/hero_image) is gated out and
+    # never persisted (scrape.rs:576-594)
+    assert sorted(r.url for r in ex.collect()) == POSTS
+
+
+def test_depth2_retries_tag_pages(spark, site, tmp_path_factory):
+    """max_depth=2: the posts' /tag/* links (same host) are enqueued, miss
+    the pages table (fetch error), retry with backoff, end failed after
+    max_retries."""
+    ckpt = str(tmp_path_factory.mktemp("crawl_d2"))
+    summary = run_crawl(
+        spark, site, [SEED], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=2, max_pages=100,
+                    max_retries=2, use_bloom=False, max_generations=20),
+    )
+    store = SnapshotStore(ckpt)
+    frontier = store.read_snapshot(spark, "frontier", summary["generation"])
+    rows = {r.url: r for r in frontier.collect()}
+    tag_urls = [u for u in rows if "/tag/" in u]
+    assert tag_urls, "tag pages should have been enqueued at depth 2"
+    for u in tag_urls:
+        assert rows[u].status == "failed"
+        assert rows[u].retry_count == 2
+        assert rows[u].error.startswith("fetch_error")
+    # completed pages stayed completed
+    assert rows[SEED].status == "completed"
+    # tag URLs were claimed max_retries+1 times total? (initial + 1 retry)
+    visits = _visits(spark, ckpt)
+    tag_visits = [v for v in visits if "/tag/" in v[1]]
+    assert len(tag_visits) == len(tag_urls) * 2  # initial attempt + 1 retry
+
+
+def test_max_pages_budget(spark, site, tmp_path_factory):
+    """max_pages=1: only one child may ever be enqueued (visited-count cap,
+    worker.rs:303-325), chosen deterministically (first in claim order)."""
+    ckpt = str(tmp_path_factory.mktemp("crawl_mp"))
+    summary = run_crawl(
+        spark, site, [SEED], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, max_pages=1, use_bloom=False),
+    )
+    seen = SnapshotStore(ckpt).read_snapshot(spark, "url_seen", summary["generation"])
+    assert [r.url for r in seen.collect()] == [POSTS[0]]
+    visits = _visits(spark, ckpt)
+    assert [v[1] for v in visits] == [SEED, POSTS[0]]
+
+
+def test_domain_filter_default_seed_host(spark, site, tmp_path_factory):
+    """Cross-domain links are dropped when allowed_domains defaults to the
+    seed host (worker.rs:293-301)."""
+    import datetime as dt
+
+    from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
+
+    html = (
+        b'<html><head><title>x</title></head><body>'
+        b'<a href="https://other.example.net/a">ext</a>'
+        b'<a href="/local">in</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://seed.example.com/", EPOCH, html, None, "en")], PAGES_SCHEMA
+    )
+    ckpt = str(tmp_path_factory.mktemp("crawl_dom"))
+    summary = run_crawl(
+        spark, pages, ["https://seed.example.com/"], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, max_retries=1,
+                    use_bloom=False, max_generations=10),
+    )
+    frontier = SnapshotStore(ckpt).read_snapshot(spark, "frontier", summary["generation"])
+    urls = [r.url for r in frontier.collect()]
+    assert "https://seed.example.com/local" in urls
+    assert not any("other.example.net" in u for u in urls)
+
+
+def test_robots_filtering(spark, site, tmp_path_factory):
+    """Links disallowed by the host's robots.txt are never enqueued (A5)."""
+    robots = {"blog.example.com": "User-agent: *\nDisallow: /post-ownership.html\n"}
+    ckpt = str(tmp_path_factory.mktemp("crawl_rb"))
+    summary = run_crawl(
+        spark, site, [SEED], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, use_bloom=False),
+        robots_raw=robots,
+    )
+    seen = SnapshotStore(ckpt).read_snapshot(spark, "url_seen", summary["generation"])
+    assert [r.url for r in seen.collect()] == [POSTS[0]]
+
+
+def test_seed_requeue_quirk(spark, tmp_path_factory):
+    """A child page linking back to the seed re-enqueues it ONCE (the seed
+    is never marked visited — main.rs:784-798 / worker.rs:356-387)."""
+    import datetime as dt
+
+    from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
+
+    seed_html = b'<html><body><a href="/child">c</a></body></html>'
+    child_html = b'<html><body><a href="/">back</a><a href="/child">self</a></body></html>'
+    pages = spark.createDataFrame(
+        [
+            ("https://q.example.com/", EPOCH, seed_html, None, "en"),
+            ("https://q.example.com/child", EPOCH, child_html, None, "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    ckpt = str(tmp_path_factory.mktemp("crawl_q"))
+    run_crawl(
+        spark, pages, ["https://q.example.com/"], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=3, use_bloom=False,
+                    max_generations=10),
+    )
+    visits = _visits(spark, ckpt)
+    seed_visits = [v for v in visits if v[1] == "https://q.example.com/"]
+    child_visits = [v for v in visits if v[1].endswith("/child")]
+    assert len(seed_visits) == 2  # original + re-enqueued once
+    assert len(child_visits) == 1  # child IS in the seen set → only once
+
+
+def test_resume_mid_crawl(spark, site, tmp_path_factory):
+    """Kill after generation 0, resume: final state identical to an
+    uninterrupted run (north_rule resumability)."""
+    cfg = CrawlConfig(schema_spec="blog@latest", max_depth=2, max_retries=1,
+                      use_bloom=False, max_generations=20)
+    full_ckpt = str(tmp_path_factory.mktemp("crawl_full"))
+    full = run_crawl(spark, site, [SEED], full_ckpt, cfg, session_id="fixed-session")
+
+    part_ckpt = str(tmp_path_factory.mktemp("crawl_part"))
+    cfg1 = CrawlConfig(**{**cfg.__dict__, "max_generations": 1})
+    run_crawl(spark, site, [SEED], part_ckpt, cfg1, session_id="fixed-session")
+    # patch the stored config back to the full horizon, then resume
+    import json
+    from pathlib import Path
+
+    cfg_path = Path(part_ckpt) / "config.json"
+    meta = json.loads(cfg_path.read_text())
+    meta["cfg"]["max_generations"] = 20
+    cfg_path.write_text(json.dumps(meta))
+    resumed = resume_crawl(spark, site, part_ckpt)
+
+    assert resumed["generation"] == full["generation"]
+    f_full = SnapshotStore(full_ckpt).read_snapshot(spark, "frontier", full["generation"])
+    f_res = SnapshotStore(part_ckpt).read_snapshot(spark, "frontier", resumed["generation"])
+    key = lambda r: (r.url, r.status, r.retry_count, r.created_seq)
+    assert sorted(map(key, f_full.collect())) == sorted(map(key, f_res.collect()))
+    # visit logs identical too
+    assert _visits(spark, full_ckpt) == _visits(spark, part_ckpt)
