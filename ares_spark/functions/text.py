@@ -107,22 +107,18 @@ def lang_scores(col) -> list[tuple[str, Column]]:
 
 def lang_id(col) -> Column:
     """Pick the language whose marker set scores highest (ties → lexicographic
-    language code order, 'und' if all zero)."""
-    scores = lang_scores(col)
-    # build struct array (score, negcode) and take max — deterministic ties
-    entries = F.array(
-        *[F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
-    )
-    best = F.aggregate(
-        entries,
-        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
-        lambda acc, x: F.when(
-            (x["score"] > acc["score"])
-            | ((x["score"] == acc["score"]) & (x["lang"] < acc["lang"]) & (acc["score"] > 0)),
-            x,
-        ).otherwise(acc),
-    )
-    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+    language code order, 'und' if all zero).
+
+    Implemented as greatest() + a when-chain in lexicographic language
+    order — flat expressions that stay inside whole-stage codegen (the
+    previous array<struct> fold blew up generated-code compilation:
+    ~56s for 500 rows; this form runs in well under a second)."""
+    scores = {lang: s.cast("double") for lang, s in lang_scores(col)}
+    best = F.greatest(*scores.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):  # lexicographic order == deterministic ties
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
 
 
 def shingles(col, n: int = 3) -> Column:

@@ -128,8 +128,13 @@ def synth_pages(
     n_hosts: int = 50,
     seed: int = 42,
     partitions: int | None = None,
+    with_text: bool = True,
 ) -> DataFrame:
-    """Distributed deterministic pages table (executor-side generation)."""
+    """Distributed deterministic pages table (executor-side generation).
+
+    ``with_text=False`` skips the golden cleaned-text column (it costs a
+    full clean per row) — used when generating large bench corpora where
+    the pipeline under test computes the text itself."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ares_spark.html import clean_html  # ships via --py-files
@@ -145,7 +150,7 @@ def synth_pages(
                         "warc_ts": EPOCH + dt.timedelta(seconds=i),
                         "html": html.encode("utf-8"),
                         # golden column: what the pipeline must reproduce
-                        "text": clean_html(html),
+                        "text": clean_html(html) if with_text else None,
                         "lang": _LANGS[_h(f"lang:{seed}:{i}") % len(_LANGS)],
                     }
                 )

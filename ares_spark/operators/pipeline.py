@@ -86,6 +86,89 @@ def extract_distinct(texts: DataFrame, schema: dict) -> DataFrame:
     return texts.mapInPandas(run, schema=EXTRACT_RESULT_SCHEMA)
 
 
+def scrape_fused(
+    batch: DataFrame,
+    schema: dict,
+    max_content_chars: int = 500_000,
+) -> DataFrame:
+    """One-pass clean+extract+validate+ground over (url, html, ...) rows.
+
+    The throughput path: a single mapInPandas stage computes everything
+    per row with a partition-local extraction memo keyed by content hash
+    (the A24 cache, partition-scoped). Compared with the two-stage
+    global-dedup path this trades cross-partition dedup of extraction work
+    for: one Python IPC pass instead of two, no shuffle, no persist, no
+    join — a large win when content duplication across partitions is low
+    or the extractor is cheap, and the right default in syscall-expensive
+    environments (microVMs) where JVM↔Python socket traffic dominates.
+    Results are IDENTICAL to the two-stage path (extraction is a pure
+    function of (text, schema)).
+    """
+    import hashlib
+
+    schema_json = json.dumps(schema)
+    out_schema = T.StructType(
+        [f for f in batch.schema.fields if f.name not in
+         ("text", "links", "content_hash", "extracted_data", "is_valid",
+          "validation_errors", "ungrounded_paths")]
+        + [
+            T.StructField("text", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("extracted_data", T.StringType()),
+            T.StructField("is_valid", T.BooleanType()),
+            T.StructField("validation_errors", T.ArrayType(T.StringType())),
+            T.StructField("ungrounded_paths", T.ArrayType(T.StringType())),
+        ]
+    )
+    keep = [f.name for f in out_schema.fields if f.name not in
+            ("text", "links", "content_hash", "extracted_data", "is_valid",
+             "validation_errors", "ungrounded_paths")]
+
+    def run(batches):
+        from ares_spark.html import process_html
+        from ares_spark.operators.extract import canonical_json, extract_structured
+        from ares_spark.operators.groundedness import ungrounded_fields
+        from ares_spark.operators.validate import validate_extracted_output
+
+        sch = json.loads(schema_json)
+        memo: dict[str, tuple] = {}  # content_hash -> extraction result
+        for pdf in batches:
+            texts, links_col, hashes = [], [], []
+            datas, valids, errses, ungs = [], [], [], []
+            for html, url in zip(pdf["html"], pdf["url"]):
+                raw = bytes(html).decode("utf-8", "replace") if isinstance(
+                    html, (bytes, bytearray)) else (html or "")
+                text, links = process_html(raw, url or "", max_content_chars)
+                chash = hashlib.sha256(text.encode()).hexdigest()
+                hit = memo.get(chash)
+                if hit is None:
+                    value = extract_structured(text, sch)
+                    errors = validate_extracted_output(sch, value)
+                    ung = ungrounded_fields(text, value) if not errors else []
+                    hit = (canonical_json(value), not errors, errors, ung)
+                    if len(memo) < 100_000:
+                        memo[chash] = hit
+                texts.append(text)
+                links_col.append(links)
+                hashes.append(chash)
+                datas.append(hit[0])
+                valids.append(hit[1])
+                errses.append(hit[2])
+                ungs.append(hit[3])
+            out = pdf[keep].copy()
+            out["text"] = texts
+            out["links"] = links_col
+            out["content_hash"] = hashes
+            out["extracted_data"] = datas
+            out["is_valid"] = valids
+            out["validation_errors"] = errses
+            out["ungrounded_paths"] = ungs
+            yield out
+
+    return batch.mapInPandas(run, schema=out_schema)
+
+
 def latest_per_key(
     df: DataFrame, keys: list[str], order_col: str = "created_at", tiebreak: str | None = "id"
 ) -> DataFrame:
@@ -113,46 +196,82 @@ def scrape_batch(
     prior_extractions: DataFrame | None = None,
     batch_ts=None,
     max_content_chars: int = 500_000,
+    parallelism: int | None = None,
+    mode: str = "fused",
 ) -> DataFrame:
     """Run the full per-batch pipeline over rows carrying (url, html).
 
     Returns extraction rows (FIXTURES.md §4 shape) with ``is_valid``,
     ``ungrounded_paths``, ``changed`` and ``links`` columns; caller persists
     ``is_valid`` rows and feeds ``links`` to the spider stage.
+
+    CPU-stage partitioning: the clean/extract pandas UDFs are CPU-bound
+    per ROW, but Spark sizes input splits and AQE-coalesced shuffles by
+    BYTES — a 60 MB batch of 40k pages otherwise lands on 1-2 tasks and
+    serializes the whole pipeline (measured: local[32] slower than
+    local[8]). We therefore repartition explicitly to ``parallelism``
+    (default: sc.defaultParallelism) on url-hash before each UDF stage;
+    an explicit repartition also opts that exchange out of AQE
+    coalescing.
     """
-    processed = process_pages(batch, max_content_chars=max_content_chars)
+    if parallelism is None:
+        parallelism = batch.sparkSession.sparkContext.defaultParallelism
+    # only shuffle when the source is too narrow for the UDF stage — a
+    # well-partitioned scan (files.maxPartitionBytes sized for ~row-count
+    # parallelism) skips a full shuffle of the html payload
+    if batch.rdd.getNumPartitions() < parallelism:
+        batch = batch.repartition(parallelism, F.xxhash64("url"))
 
-    # A24 extraction cache: extract once per distinct cleaned content.
-    distinct_texts = processed.select("content_hash", "text").dropDuplicates(["content_hash"])
-
-    if prior_extractions is not None:
-        # cache hits: reuse prior extracted_data for known content hashes
-        prior_hits = (
-            prior_extractions.filter(
-                (F.col("schema_name") == schema_name) & (F.col("model") == model)
-            )
-            .select(
-                "content_hash",
-                F.col("extracted_data").alias("extracted_data"),
-            )
-            .dropDuplicates(["content_hash"])
-            .withColumn("is_valid", F.lit(True))
-            .withColumn("validation_errors", F.array().cast(T.ArrayType(T.StringType())))
-            .withColumn("ungrounded_paths", F.array().cast(T.ArrayType(T.StringType())))
-            .select(
-                "content_hash", "extracted_data", "is_valid", "validation_errors", "ungrounded_paths"
-            )
-        )
-        misses = distinct_texts.join(
-            prior_hits.select("content_hash"), "content_hash", "left_anti"
-        )
-        results = extract_distinct(misses, schema).unionByName(prior_hits)
+    if mode == "fused" and prior_extractions is None:
+        # single-pass clean+extract with partition-local memo (see
+        # scrape_fused): fewer Python IPC passes, no mid-pipeline shuffle
+        joined = scrape_fused(batch, schema, max_content_chars)
     else:
-        results = extract_distinct(distinct_texts, schema)
+        processed = process_pages(batch, max_content_chars=max_content_chars)
+        # persist: two consumers (distinct-content extraction + the final
+        # join) would otherwise re-run the html-parse UDF — the most
+        # expensive stage — twice (measured 2x wall time).
+        from pyspark import StorageLevel
+
+        processed = processed.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # A24 extraction cache: extract once per distinct cleaned content.
+        distinct_texts = (
+            processed.select("content_hash", "text")
+            .repartition(parallelism, "content_hash")
+            .dropDuplicates(["content_hash"])
+        )
+
+        if prior_extractions is not None:
+            # cache hits: reuse prior extracted_data for known content hashes
+            prior_hits = (
+                prior_extractions.filter(
+                    (F.col("schema_name") == schema_name) & (F.col("model") == model)
+                )
+                .select(
+                    "content_hash",
+                    F.col("extracted_data").alias("extracted_data"),
+                )
+                .dropDuplicates(["content_hash"])
+                .withColumn("is_valid", F.lit(True))
+                .withColumn("validation_errors", F.array().cast(T.ArrayType(T.StringType())))
+                .withColumn("ungrounded_paths", F.array().cast(T.ArrayType(T.StringType())))
+                .select(
+                    "content_hash", "extracted_data", "is_valid",
+                    "validation_errors", "ungrounded_paths",
+                )
+            )
+            misses = distinct_texts.join(
+                prior_hits.select("content_hash"), "content_hash", "left_anti"
+            )
+            results = extract_distinct(misses, schema).unionByName(prior_hits)
+        else:
+            results = extract_distinct(distinct_texts, schema)
+
+        joined = processed.join(results, "content_hash", "left")
 
     enriched = (
-        processed.join(results, "content_hash", "left")
-        .withColumn("schema_name", F.lit(schema_name))
+        joined.withColumn("schema_name", F.lit(schema_name))
         .withColumn("schema_version", F.lit(schema_version))
         .withColumn("model", F.lit(model))
         .withColumn("provider", F.lit(provider))

@@ -54,6 +54,15 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # spark.driver.memory via builder.config does NOT apply in PySpark local
+    # mode — py4j launches the JVM before the conf is seen, leaving the
+    # default 1g heap (measured: 177s of GC in a 24s stage). The heap must
+    # be on the JVM command line via PYSPARK_SUBMIT_ARGS.
+    import pyspark
+
+    if pyspark.SparkContext._jvm is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("ARES_DRIVER_MEM", "48g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(int(n), 8)
@@ -66,7 +75,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", os.environ.get("ARES_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
