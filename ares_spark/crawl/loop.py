@@ -79,6 +79,7 @@ class CrawlConfig:
     max_generations: int = 64
     batch_interval_s: float = 1.0
     use_bloom: bool = True
+    ssrf_filter: bool = True
     n_shards: int = 64
     salt_partitions: int | None = None  # repartition width for the UDF stage
     breaker: dict = field(default_factory=dict)
@@ -341,6 +342,13 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
             )
         )
     )
+    if cfg.ssrf_filter:
+        # A2: never enqueue private/reserved-IP or non-http(s) targets (the
+        # reference validates at fetch time; the batch engine filters the
+        # frontier so poisoned links don't occupy politeness budget)
+        from ares_spark.operators.ssrf import fetchable_col
+
+        kids = kids.filter(fetchable_col("link"))
     if robots_raw:
         kids = kids.filter(_robots_filter_col(spark, robots_raw, "link"))
 
