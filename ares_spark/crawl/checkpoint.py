@@ -67,9 +67,13 @@ class SnapshotStore:
             str(self.root / table / f"batch-g{generation:04d}")
         )
 
-    def read_all_batches(self, spark: SparkSession, table: str) -> DataFrame | None:
+    def read_all_batches(
+        self, spark: SparkSession, table: str, upto_generation: int | None = None
+    ) -> DataFrame | None:
         base = self.root / table
         dirs = sorted(str(p) for p in base.glob("batch-g*") if p.is_dir())
+        if upto_generation is not None:
+            dirs = [d for d in dirs if int(d.rsplit("batch-g", 1)[1]) <= upto_generation]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)

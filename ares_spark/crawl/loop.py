@@ -156,6 +156,12 @@ def _robots_filter_col(spark, robots_raw: dict[str, str], url_col="link"):
     return allowed(F.col(url_col))
 
 
+def _read_seen(spark, store, upto_generation: int):
+    """The URL-seen set = union of the append-only per-generation logs."""
+    df = store.read_all_batches(spark, "url_seen", upto_generation)
+    return df if df is not None else spark.createDataFrame([], SEEN_SCHEMA)
+
+
 class CrawlState:
     def __init__(self, store, frontier, seen, batch_ts, seq_base, visit_base, breaker, generation):
         self.store = store
@@ -216,7 +222,7 @@ def resume_crawl(
     state = CrawlState(
         store,
         store.read_snapshot(spark, "frontier", g),
-        store.read_snapshot(spark, "url_seen", g),
+        _read_seen(spark, store, g),
         man["batch_ts"],
         man["seq_base"],
         man["visit_base"],
@@ -455,7 +461,6 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         "host_shard",
         F.lit(state.batch_ts).alias("created_at"),
     )
-    next_seen = state.seen.unionByName(new_seen)
 
     # --- lineage + snapshots ----------------------------------------------------
     shard_stats = {
@@ -476,7 +481,11 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
 
     n_batch = fetched.count()
     state.store.write_snapshot(next_frontier, "frontier", g)
-    state.store.write_snapshot(next_seen, "url_seen", g)
+    # url_seen is INSERT-only (ON CONFLICT DO NOTHING semantics), so it
+    # checkpoints as per-generation appends — O(new links), never a
+    # rewrite of the 10^10-row set. Readers union the log
+    # (SnapshotStore.read_all_batches('url_seen')).
+    state.store.append_batch(new_seen, "url_seen", g)
     summary = {
         "generation": g,
         "session_id": session_id,
@@ -500,7 +509,7 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
     # re-read snapshots: truncates the iterative lineage (plan growth is the
     # classic iterative-Spark failure mode) and makes resume path == hot path
     state.frontier = state.store.read_snapshot(spark, "frontier", g)
-    state.seen = state.store.read_snapshot(spark, "url_seen", g)
+    state.seen = _read_seen(spark, state.store, g)
     state.batch_ts += cfg.batch_interval_s
     state.seq_base = summary["seq_base"]
     state.visit_base = summary["visit_base"]

@@ -152,8 +152,10 @@ def bloom_maybe_seen_col(spark, blooms: dict[int, bytes], hash_col="url_hash",
 
     bc = spark.sparkContext.broadcast(blooms)
 
+    # NOTE: no type hints — string annotations ('pd.Series') aren't
+    # resolvable here because pandas is imported locally
     @pandas_udf("boolean")
-    def probe(hashes: pd.Series, shards: pd.Series) -> pd.Series:
+    def probe(hashes, shards):
         local = {s: BloomFilter.from_bytes(raw) for s, raw in bc.value.items()}
         out = np.zeros(len(hashes), dtype=bool)
         h = hashes.to_numpy()

@@ -44,9 +44,7 @@ def test_depth1_trace(spark, site, tmp_path_factory):
     visits = _visits(spark, ckpt)
     assert [(v[0], v[1]) for v in visits] == [(0, SEED), (1, POSTS[0]), (2, POSTS[1])]
     assert all(v[2] == "completed" for v in visits)
-    seen = SnapshotStore(ckpt).read_snapshot(
-        spark, "url_seen", summary["generation"]
-    )
+    seen = SnapshotStore(ckpt).read_all_batches(spark, "url_seen")
     assert sorted(r.url for r in seen.collect()) == POSTS  # seed NOT in seen
     ex = SnapshotStore(ckpt).read_all_batches(spark, "extractions")
     # validation gating (A9): the two posts satisfy the blog schema; the
@@ -90,7 +88,7 @@ def test_max_pages_budget(spark, site, tmp_path_factory):
         spark, site, [SEED], ckpt,
         CrawlConfig(schema_spec="blog@latest", max_depth=1, max_pages=1, use_bloom=False),
     )
-    seen = SnapshotStore(ckpt).read_snapshot(spark, "url_seen", summary["generation"])
+    seen = SnapshotStore(ckpt).read_all_batches(spark, "url_seen")
     assert [r.url for r in seen.collect()] == [POSTS[0]]
     visits = _visits(spark, ckpt)
     assert [v[1] for v in visits] == [SEED, POSTS[0]]
@@ -132,7 +130,7 @@ def test_robots_filtering(spark, site, tmp_path_factory):
         CrawlConfig(schema_spec="blog@latest", max_depth=1, use_bloom=False),
         robots_raw=robots,
     )
-    seen = SnapshotStore(ckpt).read_snapshot(spark, "url_seen", summary["generation"])
+    seen = SnapshotStore(ckpt).read_all_batches(spark, "url_seen")
     assert [r.url for r in seen.collect()] == [POSTS[0]]
 
 

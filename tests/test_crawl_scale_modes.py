@@ -1,0 +1,145 @@
+"""M4 scale machinery: host-round-robin ordering, per-host politeness
+budgets, crawl-delay budgets, Bloom-tier seen filtering, breaker skips."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ares_spark.crawl import CrawlConfig, run_crawl
+from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.crawl.frontier import order_host_rr
+from ares_spark.crawl.seen import filter_unseen
+from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
+
+
+def _mk_pages(spark, spec):
+    """spec: {url: [linked urls]} — minimal pages with those links."""
+    rows = []
+    for url, links in spec.items():
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        rows.append((url, EPOCH, f"<html><body>{body}</body></html>".encode(), None, "en"))
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_order_host_rr_interleaves_hosts(spark):
+    rows = [
+        ("a.com", 0, None, 0), ("a.com", 1, None, 0), ("a.com", 2, None, 0),
+        ("b.com", 3, None, 0), ("b.com", 4, None, 0),
+        ("c.com", 5, None, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, created_seq long, next_retry_at double, depth int"
+    )
+    got = [
+        (r.host, r.created_seq)
+        for r in order_host_rr(df).orderBy("claim_pos").collect()
+    ]
+    # round 1: one per host (a,b,c), round 2: (a,b), round 3: (a)
+    assert got == [
+        ("a.com", 0), ("b.com", 3), ("c.com", 5),
+        ("a.com", 1), ("b.com", 4), ("a.com", 2),
+    ]
+
+
+def test_per_host_budget_spreads_over_generations(spark, tmp_path_factory):
+    """per_host_budget=1: one fetch per host per generation — the hot host's
+    4 pages take 4 generations instead of 1 (politeness window semantics)."""
+    host = "https://hot.example.com"
+    spec = {
+        f"{host}/": [f"{host}/p1", f"{host}/p2", f"{host}/p3"],
+        f"{host}/p1": [], f"{host}/p2": [], f"{host}/p3": [],
+    }
+    pages = _mk_pages(spark, spec)
+    ckpt = str(tmp_path_factory.mktemp("crawl_budget"))
+    summary = run_crawl(
+        spark, pages, [f"{host}/"], ckpt,
+        CrawlConfig(max_depth=1, per_host_budget=1, use_bloom=False, max_generations=10),
+    )
+    # 4 pages × budget 1/host/gen → 4 generations of visits
+    visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+    per_gen = {r.generation: r.n for r in
+               visits.groupBy("generation").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 1 for n in per_gen.values())
+    assert len(per_gen) == 4
+
+
+def test_crawl_delay_budget_from_robots(spark, tmp_path_factory):
+    """Crawl-delay 30 with a 60s window → budget 2/host/generation."""
+    host = "https://slow.example.com"
+    spec = {
+        f"{host}/": [f"{host}/a", f"{host}/b", f"{host}/c", f"{host}/d"],
+        f"{host}/a": [], f"{host}/b": [], f"{host}/c": [], f"{host}/d": [],
+    }
+    pages = _mk_pages(spark, spec)
+    ckpt = str(tmp_path_factory.mktemp("crawl_delay"))
+    run_crawl(
+        spark, pages, [f"{host}/"], ckpt,
+        CrawlConfig(max_depth=1, politeness_window_s=60.0, use_bloom=False,
+                    max_generations=10),
+        robots_raw={"slow.example.com": "User-agent: *\nCrawl-delay: 30\n"},
+    )
+    visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+    per_gen = [r.n for r in visits.groupBy("generation").agg(F.count("*").alias("n"))
+               .orderBy("generation").collect()]
+    assert max(per_gen) <= 2  # 60s window / 30s delay
+    assert sum(per_gen) == 5  # all pages eventually visited
+
+
+def test_bloom_tier_matches_exact(spark, tmp_path_factory):
+    """filter_unseen with the Bloom tier returns exactly the exact-path
+    result (false positives rescued by the backstop join)."""
+    from ares_spark.crawl.seen import host_shard_col, url_hash_col
+
+    n = 20000
+    seen = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("https://h"), (F.col("id") % 37).cast("string"),
+                     F.lit(".example.org/p"), F.col("id").cast("string")).alias("url")
+        )
+        .withColumn("url_hash", url_hash_col("url"))
+        .withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .withColumn("host_shard", host_shard_col("host"))
+        .select("url_hash", "host_shard")
+    )
+    cand = (
+        spark.range(n - 500, n + 500)  # 500 seen + 500 new
+        .select(
+            F.concat(F.lit("https://h"), (F.col("id") % 37).cast("string"),
+                     F.lit(".example.org/p"), F.col("id").cast("string")).alias("url")
+        )
+        .withColumn("url_hash", url_hash_col("url"))
+        .withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .withColumn("host_shard", host_shard_col("host"))
+    )
+    exact = sorted(r.url for r in filter_unseen(cand, seen, use_bloom=False).collect())
+    bloom = sorted(
+        r.url
+        for r in filter_unseen(cand, seen, spark=spark, use_bloom=True,
+                               bloom_min_seen=1000).collect()
+    )
+    assert len(exact) == 500
+    assert bloom == exact
+
+
+def test_breaker_skips_then_recovers(spark, tmp_path_factory):
+    """A host whose pages all 404 opens its breaker after the failure
+    threshold; its retries are deferred while open, and the crawl still
+    terminates with the host's jobs failed."""
+    host = "https://dead.example.com"
+    ok = "https://fine.example.com"
+    spec = {f"{ok}/": [f"{ok}/a", f"{host}/x1", f"{host}/x2"], f"{ok}/a": []}
+    pages = _mk_pages(spark, spec)
+    ckpt = str(tmp_path_factory.mktemp("crawl_brk"))
+    summary = run_crawl(
+        spark, pages, [f"{ok}/"], ckpt,
+        CrawlConfig(max_depth=1, max_retries=3, use_bloom=False, max_generations=30,
+                    allowed_domains=["fine.example.com", "dead.example.com"],
+                    breaker={"failure_threshold": 2}),
+    )
+    frontier = SnapshotStore(ckpt).read_snapshot(spark, "frontier", summary["generation"])
+    rows = {r.url: r for r in frontier.collect()}
+    assert rows[f"{ok}/a"].status == "completed"
+    assert rows[f"{host}/x1"].status == "failed"
+    assert rows[f"{host}/x2"].status == "failed"
+    breaker = summary["breaker"]["hosts"].get("dead.example.com")
+    assert breaker is not None and breaker["consecutive_failures"] >= 2
