@@ -397,7 +397,7 @@ def q_s02_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return lsh_ann_topk(corpus, queries, dim=64, k=5, planes=6).select(
+    return lsh_ann_topk(corpus, queries, dim=64, k=5, planes=6, tables=8).select(
         "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cos4")
     )
 
@@ -451,6 +451,49 @@ def q_c02_crawl_trace(spark, sf_dir):
     )
     visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
     return visits.select("visit_pos", "url", "outcome").orderBy("visit_pos")
+
+
+def q_c03_extraction_fixtures(spark, sf_dir):
+    """A8/A9 structured-extraction parity: the five schema'd fixtures
+    through the full fused pipeline; canonical JSON + validity pinned
+    against tests/golden/extractions.json."""
+    from pathlib import Path
+
+    from ares_spark.operators.pipeline import scrape_fused
+    from ares_spark.schemas import SchemaRegistry
+
+    reg = SchemaRegistry()
+    out = None
+    for fixture in ["blog", "github_repo", "news_article", "product", "recipe"]:
+        html = Path(f"{_FIXDIR}/{fixture}.html").read_bytes()
+        df = spark.createDataFrame(
+            [(fixture, f"https://fixtures.example.org/{fixture}", html)],
+            "name string, url string, html binary",
+        )
+        _, _, schema = reg.resolve(fixture)
+        r = scrape_fused(df, schema).select(
+            "name", "extracted_data", F.col("is_valid").alias("valid")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _c03_oracle() -> str:
+    import json
+    from pathlib import Path
+
+    goldens = json.loads(
+        (Path(__file__).parent / _GOLDEN_DIR / "extractions.json").read_text()
+    )
+    vals = []
+    for name, data in goldens.items():
+        esc = data.replace("'", "''")
+        vals.append(f"('{name}', '{esc}', true)")
+    return (
+        "select * from (values "
+        + ", ".join(vals)
+        + ") t(name, extracted_data, valid)"
+    )
 
 
 def _c01_oracle() -> str:
@@ -512,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_ann_lsh": q_s02_ann_lsh,
         "c01_cleaner_fixtures": q_c01_cleaner_fixtures,
         "c02_crawl_trace": q_c02_crawl_trace,
+        "c03_extraction_fixtures": q_c03_extraction_fixtures,
     }
 
 
@@ -809,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c01_cleaner_fixtures": _c01_oracle(),
         "c02_crawl_trace": _C02_ORACLE,
+        "c03_extraction_fixtures": _c03_oracle(),
         # d04_simhash, s02_ann_lsh: non-SQL-expressible (xxhash64 / seeded
         # hyperplanes) → rows-only driver check; semantics pinned in pytest.
     }

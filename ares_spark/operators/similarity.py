@@ -97,38 +97,60 @@ def lsh_ann_topk(
     dim: int,
     k: int = 5,
     planes: int = 8,
+    tables: int = 8,
+    multiprobe_bits: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within the query's LSH bucket.
+    """Approximate top-k: exact cosine re-rank within matching LSH buckets.
 
-    Recall is tunable via `planes` (fewer planes → bigger buckets → higher
-    recall & cost). Multi-probe (flip one bit) widens recall cheaply.
+    Standard multi-table random-hyperplane LSH: ``tables`` independent
+    hash tables of ``planes`` sign bits each; a corpus vector is a
+    candidate if it matches the query's bucket in ANY table (plus 1-bit
+    multi-probe flips per table). Recall rises with tables and falls with
+    planes; cost tracks total bucket occupancy — at 10^9 vectors pick
+    planes so 2^planes * tables ≫ executor count and each bucket fits a
+    task. Candidates dedup on (query, id) before the exact re-rank.
     """
     from pyspark.sql import Window
 
-    c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, planes, seed))
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        lsh_bucket(F.col(vec_col), dim, planes, seed).alias("qbucket"),
-    )
-    # multi-probe: own bucket + 1-bit flips
-    probes = qb.select(
-        query_id_col,
-        "__qvec",
+    c_buckets = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
         F.explode(
             F.array(
-                F.col("qbucket"),
-                *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(planes)],
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(t)),
+                        lsh_bucket(F.col(vec_col), dim, planes, seed + 1000 * t).cast("string"),
+                    )
+                    for t in range(tables)
+                ]
             )
         ).alias("bucket"),
     )
-    scored = c.join(F.broadcast(probes), "bucket").withColumn(
-        "cosine", cosine(F.col(vec_col), F.col("__qvec"))
+    probe_cols = []
+    for t in range(tables):
+        b = lsh_bucket(F.col(vec_col), dim, planes, seed + 1000 * t)
+        variants = [b]
+        if multiprobe_bits >= 1:
+            variants += [b.bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+        probe_cols += [
+            F.concat_ws(":", F.lit(str(t)), v.cast("string")) for v in variants
+        ]
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
     )
+    cand = (
+        c_buckets.join(F.broadcast(probes), "bucket")
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn("cosine", cosine(F.col(vec_col), F.col("__qvec")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
