@@ -370,6 +370,32 @@ def q_d04_simhash(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_d05_dedup_exact_keep(spark, sf_dir):
+    """Exact dedup keeper selection: keep min-doc_id per identical
+    normalized prefix (deterministic winner, the ON-CONFLICT analog)."""
+    from ares_spark.operators.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    return dedup_exact(d).select("doc_id", F.md5("text").alias("text_hash"))
+
+
+def q_b12_partition_pruning(spark, sf_dir):
+    """B12: partial-index analog — write host_shard-partitioned state,
+    read back with a partition filter (Catalyst prunes directories; the
+    oracle recomputes the same subset relationally)."""
+    import tempfile
+
+    urls = _doc_urls(spark, sf_dir).withColumn(
+        "host_shard", (F.col("doc_id") % 8).cast("int")
+    )
+    out = tempfile.mkdtemp(prefix="ares_b12_")
+    urls.write.mode("overwrite").partitionBy("host_shard").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("host_shard").isin(0, 3, 5))
+    return pruned.select("doc_id", "url", "host_shard")
+
+
 def q_s01_ann_bruteforce(spark, sf_dir):
     from ares_spark.operators.similarity import brute_force_topk
 
@@ -549,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_fingerprint": q_t04_fingerprint,
         "d01_exact_dup_groups": q_d01_exact_dup_groups,
         "d02_minhash_lsh": q_d02_minhash_lsh,
+        "d05_dedup_exact_keep": q_d05_dedup_exact_keep,
+        "b12_partition_pruning": q_b12_partition_pruning,
         "d03_ngram_jaccard": q_d03_ngram_jaccard,
         "d04_simhash": q_d04_simhash,
         "s01_ann_bruteforce": q_s01_ann_bruteforce,
@@ -831,6 +859,20 @@ def oracle_sql() -> dict[str, str]:
             join docs db on db.doc_id = id_b
             where len(list_intersect(da.shset, db.shset))::double
                   / len(list_distinct(da.shset || db.shset)) >= 0.35
+        """,
+        "d05_dedup_exact_keep": """
+            select doc_id, md5(text) as text_hash from (
+              select doc_id, substr(text, 1, 60) as text,
+                     row_number() over (partition by md5(substr(text, 1, 60))
+                                        order by doc_id) as rn
+              from documents) where rn = 1
+        """,
+        "b12_partition_pruning": """
+            select doc_id,
+                   'https://' || source || '.example.org/d/' || doc_id as url,
+                   (doc_id % 8)::int as host_shard
+            from documents
+            where (doc_id % 8) in (0, 3, 5)
         """,
         "s01_ann_bruteforce": """
             with q as (

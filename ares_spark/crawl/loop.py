@@ -163,7 +163,8 @@ def _read_seen(spark, store, upto_generation: int):
 
 
 class CrawlState:
-    def __init__(self, store, frontier, seen, batch_ts, seq_base, visit_base, breaker, generation):
+    def __init__(self, store, frontier, seen, batch_ts, seq_base, visit_base, breaker, generation,
+                 visited: int = 0):
         self.store = store
         self.frontier = frontier
         self.seen = seen
@@ -172,6 +173,9 @@ class CrawlState:
         self.visit_base = visit_base
         self.breaker = breaker
         self.generation = generation
+        # A17 semantics (worker.rs:303-314): count visited once, then track
+        # locally — avoids rescanning the seen log every generation
+        self.visited = visited
 
 
 def run_crawl(
@@ -228,6 +232,7 @@ def resume_crawl(
         man["visit_base"],
         CircuitBreaker.from_dict(man["breaker"]),
         g + 1,
+        visited=man.get("seen_total", 0),
     )
     return _drive(spark, pages, state, cfg, robots_raw or {}, meta["schema"], meta["session_id"])
 
@@ -373,9 +378,10 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         state.seen,
         spark=spark,
         use_bloom=cfg.use_bloom,
+        seen_count=state.visited,
     )
     # A17 max_pages: budget over *visited* count, deterministic order
-    visited = state.seen.count()
+    visited = state.visited
     budget_left = max(cfg.max_pages - visited, 0)
     w_order = Window.orderBy("claim_pos", "link_rank")
     fresh = (
@@ -479,7 +485,7 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
     for r in host_stats:
         state.breaker.record(r.host, int(r.ok), int(r.err), g)
 
-    n_batch = fetched.count()
+    n_batch = int(sum(s["fetched"] + s["errors"] for s in shard_stats.values()))
     state.store.write_snapshot(next_frontier, "frontier", g)
     # url_seen is INSERT-only (ON CONFLICT DO NOTHING semantics), so it
     # checkpoints as per-generation appends — O(new links), never a
@@ -513,5 +519,6 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
     state.batch_ts += cfg.batch_interval_s
     state.seq_base = summary["seq_base"]
     state.visit_base = summary["visit_base"]
+    state.visited = summary["seen_total"]
     state.generation = g + 1
     return summary

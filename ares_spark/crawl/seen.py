@@ -179,11 +179,18 @@ def filter_unseen(
     bloom_min_seen: int = 10_000,
     hash_col: str = "url_hash",
     shard_col: str = "host_shard",
+    seen_count: int | None = None,
 ) -> DataFrame:
     """candidates minus seen (A16): Bloom pre-filter when the seen set is
-    big enough to pay for bitmap construction, exact anti-join always."""
+    big enough to pay for bitmap construction, exact anti-join always.
+    Pass ``seen_count`` when known (the crawl loop tracks it) to avoid a
+    sizing scan."""
     if use_bloom and spark is not None:
-        approx_seen = seen.limit(bloom_min_seen + 1).count()
+        approx_seen = (
+            seen_count
+            if seen_count is not None
+            else seen.limit(bloom_min_seen + 1).count()
+        )
         if approx_seen > bloom_min_seen:
             blooms = build_shard_blooms(seen, hash_col, shard_col)
             maybe = bloom_maybe_seen_col(spark, blooms, hash_col, shard_col)

@@ -162,6 +162,62 @@ def synth_pages(
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def synth_linked_pages(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 50,
+    fanout: int = 8,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> tuple[DataFrame, str]:
+    """A fully-linked synthetic web for crawl benchmarking: every link
+    resolves to a REAL page (no 404 noise), page i links to the ``fanout``
+    pages (i*fanout+1 .. i*fanout+fanout) mod n, mixing same-host relative
+    and cross-host absolute links. Returns (pages, seed_url); BFS from the
+    seed reaches all n pages in ~log_fanout(n) generations."""
+
+    def linked_url(i: int) -> str:
+        return f"https://site{i % n_hosts:03d}.example.org/p{i}.html"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                links = []
+                for k in range(1, fanout + 1):
+                    j = (i * fanout + k) % n_pages
+                    target = linked_url(j)
+                    if j % n_hosts == i % n_hosts:
+                        links.append(f'<a href="/p{j}.html">l{k}</a>')
+                    else:
+                        links.append(f'<a href="{target}">l{k}</a>')
+                title = f"Linked page {i}"
+                html = (
+                    f"<html><head><title>{title}</title>"
+                    f'<meta name="author" content="Gen {i % 13}">'
+                    f'<meta name="description" content="{_words(f"ld:{seed}:{i}", 8)}">'
+                    f"</head><body><h1>{title}</h1>"
+                    f"<p>{_words(f'lp:{seed}:{i}', 30)}</p>"
+                    f"<ul>{''.join(links)}</ul></body></html>"
+                )
+                rows.append(
+                    {
+                        "url": linked_url(i),
+                        "warc_ts": EPOCH + dt.timedelta(seconds=i),
+                        "html": html.encode(),
+                        "text": None,
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    base = spark.range(n_pages)
+    if partitions:
+        base = base.repartition(partitions)
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA), linked_url(0)
+
+
 # --- reference crawl mini-site, table-backed (FIXTURES.md §6) ---------------
 
 CRAWL_SEED_URL = "https://blog.example.com/"

@@ -1,0 +1,87 @@
+"""End-to-end crawl-loop bench: the full frontier engine (claim ordering,
+fetch join, fused extraction, spidering, Bloom seen-dedup, snapshot
+checkpointing) over a fully-linked synthetic web.
+
+This is the true north-star shape — URLs scheduled+extracted/sec through
+the ENTIRE loop, not just the extraction stage. Usage:
+
+    python tools/crawl_bench.py [n_pages] [cpus]
+
+Prints one JSON line and appends a section to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+
+def main() -> None:
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.io.synth import synth_linked_pages
+    from ares_spark.session import get_spark
+
+    spark = get_spark("crawl-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    pages_dir = tempfile.mkdtemp(prefix="ares_crawlbench_pages_")
+    pages_df, seed_url = synth_linked_pages(
+        spark, N_PAGES, n_hosts=max(N_PAGES // 400, 8), fanout=8, partitions=CPUS * 2
+    )
+    pages_df.write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="ares_crawlbench_ckpt_")
+    cfg = CrawlConfig(
+        schema_spec="blog@latest",
+        max_depth=32,
+        max_pages=N_PAGES,
+        # the synthetic web spans site*.example.org — allow the suffix
+        # (empty allowed_domains would pin the crawl to the seed host)
+        allowed_domains=["example.org"],
+        ordering="host_rr",
+        use_bloom=True,
+        max_generations=40,
+        max_retries=0,
+    )
+    t0 = time.time()
+    summary = run_crawl(spark, pages, [seed_url], ckpt, cfg)
+    wall = time.time() - t0
+
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    visits = SnapshotStore(ckpt).read_all_batches(spark, "visits").count()
+    result = {
+        "metric": "crawl_loop_urls_per_sec",
+        "n_pages": N_PAGES,
+        "cpus": CPUS,
+        "generations": summary["generation"] + 1,
+        "urls_visited": visits,
+        "seen_total": summary.get("seen_total"),
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(visits / wall, 1),
+    }
+    print(json.dumps(result))
+    bench_md = Path(__file__).resolve().parent.parent / "BENCH.md"
+    if bench_md.exists():
+        bench_md.write_text(
+            bench_md.read_text()
+            + f"\n## Full crawl-loop bench (BFS engine end-to-end)\n\n"
+            f"{N_PAGES:,} fully-linked pages, fanout 8, host-RR ordering, Bloom\n"
+            f"seen-tier, snapshot checkpoints every generation: "
+            f"**{result['urls_per_sec']} URLs/s** over {result['generations']} "
+            f"generations at local[{CPUS}] ({result['wall_sec']}s wall, "
+            f"{visits:,} visits).\n"
+            f"Reproduce: `python tools/crawl_bench.py {N_PAGES} {CPUS}`\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
