@@ -260,8 +260,18 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
     batch = cfg_order(claimable(state.frontier, state.batch_ts))
 
     # --- politeness + breaker caps (per host) --------------------------------
+    # the distinct-hosts collect is its own Spark job; skip it when no cap
+    # source is active (no configured budget, no robots delays, every
+    # breaker closed) — the common fast path costs zero extra jobs
     budgets: dict[str, int] = {}
-    hosts = [r.host for r in batch.select("host").distinct().collect()]
+    caps_possible = (
+        cfg.per_host_budget is not None
+        or bool(robots_raw)
+        or any(hs.state != "closed" for hs in state.breaker.hosts.values())
+    )
+    hosts = (
+        [r.host for r in batch.select("host").distinct().collect()] if caps_possible else []
+    )
     for h in hosts:
         cap = state.breaker.claim_budget(h, g)
         pb = cfg.per_host_budget
@@ -469,20 +479,16 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
     )
 
     # --- lineage + snapshots ----------------------------------------------------
-    shard_stats = {
-        int(r.host_shard): {"fetched": r.fetched, "errors": r.errors}
-        for r in fetched.groupBy("host_shard")
-        .agg(
-            F.sum(F.col("html").isNotNull().cast("int")).alias("fetched"),
-            F.sum(F.col("html").isNull().cast("int")).alias("errors"),
-        )
-        .collect()
-    }
-    host_stats = fetched.groupBy("host").agg(
+    # one aggregation serves both lineage (per shard) and breaker (per host)
+    hh_stats = fetched.groupBy("host", "host_shard").agg(
         F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
         F.sum(F.col("html").isNull().cast("int")).alias("err"),
     ).collect()
-    for r in host_stats:
+    shard_stats: dict[int, dict] = {}
+    for r in hh_stats:
+        s = shard_stats.setdefault(int(r.host_shard), {"fetched": 0, "errors": 0})
+        s["fetched"] += int(r.ok)
+        s["errors"] += int(r.err)
         state.breaker.record(r.host, int(r.ok), int(r.err), g)
 
     n_batch = int(sum(s["fetched"] + s["errors"] for s in shard_stats.values()))
