@@ -49,17 +49,24 @@ def claimable(frontier: DataFrame, batch_ts: float) -> DataFrame:
     )
 
 
+def _global_claim_pos(df: DataFrame, order_cols) -> DataFrame:
+    """claim_pos = 1-based rank under order_cols. Small batches use the
+    plain window (fewest jobs); large batches switch to the distributed
+    range-partitioned rank so the global sort never runs on one task —
+    ranks are identical either way (order_cols are a total order)."""
+    from ares_spark.operators.ranking import global_rank
+
+    mode = df.sparkSession.conf.get("ares.rank.mode", "window")
+    if mode == "distributed":
+        return global_rank(df, order_cols, out_col="claim_pos")
+    return df.withColumn("claim_pos", F.row_number().over(Window.orderBy(*order_cols)))
+
+
 def order_fifo(df: DataFrame) -> DataFrame:
     """Reference claim order (job_repository.rs:161-163):
     next_retry_at NULLS FIRST, then creation order."""
-    return df.withColumn(
-        "claim_pos",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("next_retry_at").asc_nulls_first(),
-                F.col("created_seq").asc(),
-            )
-        ),
+    return _global_claim_pos(
+        df, [F.col("next_retry_at").asc_nulls_first(), F.col("created_seq").asc()]
     )
 
 
@@ -70,8 +77,9 @@ def order_host_rr(df: DataFrame) -> DataFrame:
         F.col("next_retry_at").asc_nulls_first(), F.col("depth").asc(), F.col("created_seq").asc()
     )
     df = df.withColumn("host_rank", F.row_number().over(w_host))
-    w_global = Window.orderBy(F.col("host_rank"), F.col("host"), F.col("created_seq"))
-    return df.withColumn("claim_pos", F.row_number().over(w_global)).drop("host_rank")
+    return _global_claim_pos(
+        df, [F.col("host_rank"), F.col("host"), F.col("created_seq")]
+    ).drop("host_rank")
 
 
 def retry_delay_expr(attempt_col="retry_count"):

@@ -1,0 +1,56 @@
+"""Distributed global rank == single-task window rank (STATUS gap #1)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ares_spark.operators.ranking import global_rank
+
+
+def test_global_rank_matches_window(spark):
+    df = (
+        spark.range(50_000)
+        .select(
+            F.col("id"),
+            (F.xxhash64("id") % 1000).alias("key"),
+            F.when(F.col("id") % 7 == 0, F.col("id") % 13).alias("nullable"),
+        )
+        .repartition(16)
+    )
+    order = [F.col("nullable").asc_nulls_first(), F.col("key").asc(), F.col("id").asc()]
+    expected = {
+        r.id: r.rk
+        for r in df.withColumn("rk", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    got = {r.id: r.rank for r in global_rank(df, order, num_partitions=16).collect()}
+    assert got == expected
+
+
+def test_global_rank_empty_and_single(spark):
+    df = spark.range(0).select(F.col("id"))
+    assert global_rank(df, [F.col("id")]).count() == 0
+    one = spark.range(1).select(F.col("id"))
+    assert global_rank(one, [F.col("id")]).first().rank == 1
+
+
+def test_crawl_with_distributed_rank_same_trace(spark, tmp_path_factory):
+    """The crawl visit trace is identical under ares.rank.mode=distributed."""
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.crawl.checkpoint import SnapshotStore
+    from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
+
+    site = crawl_site_pages(spark)
+    spark.conf.set("ares.rank.mode", "distributed")
+    try:
+        ckpt = str(tmp_path_factory.mktemp("crawl_dr"))
+        run_crawl(spark, site, [CRAWL_SEED_URL], ckpt,
+                  CrawlConfig(max_depth=1, use_bloom=False))
+        visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+        got = [(r.visit_pos, r.url) for r in visits.orderBy("visit_pos").collect()]
+    finally:
+        spark.conf.set("ares.rank.mode", "window")
+    assert got == [
+        (0, CRAWL_SEED_URL),
+        (1, "https://blog.example.com/post-backpressure.html"),
+        (2, "https://blog.example.com/post-ownership.html"),
+    ]
