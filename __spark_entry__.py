@@ -490,13 +490,18 @@ def q_c03_extraction_fixtures(spark, sf_dir):
 
     reg = SchemaRegistry()
     out = None
-    for fixture in ["blog", "github_repo", "news_article", "product", "recipe"]:
+    pairs = [
+        ("blog", "blog"), ("github_repo", "github_repo"),
+        ("news_article", "news_article"), ("product", "product"),
+        ("recipe", "recipe"), ("public_tender", "public_tenders"),
+    ]
+    for fixture, schema_name in pairs:
         html = Path(f"{_FIXDIR}/{fixture}.html").read_bytes()
         df = spark.createDataFrame(
             [(fixture, f"https://fixtures.example.org/{fixture}", html)],
             "name string, url string, html binary",
         )
-        _, _, schema = reg.resolve(fixture)
+        _, _, schema = reg.resolve(schema_name)
         r = scrape_fused(df, schema).select(
             "name", "extracted_data", F.col("is_valid").alias("valid")
         )

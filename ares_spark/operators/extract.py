@@ -85,6 +85,18 @@ class MarkdownContext:
         m = _H1.search(text)
         self.h1 = m.group(1) if m else None
 
+        # definition pairs: dl/dt/dd render as alternating short
+        # label/value paragraphs (see the public_tender fixture) —
+        # harvest them into kv without clobbering explicit "Label: value"
+        i = 0
+        while i + 1 < len(self.paragraphs):
+            label = self.paragraphs[i]
+            if 1 <= len(label.split()) <= 5 and not label.endswith((".", "!", "?", ":")):
+                self.kv.setdefault(label.strip().lower(), self.paragraphs[i + 1])
+                i += 2
+            else:
+                i += 1
+
     def list_for(self, prop: str, prefer_links: bool) -> list[str] | None:
         """Best list for an array property: section-heading match first,
         then the first all-links run (tags/topics shape), then nothing."""
@@ -130,7 +142,12 @@ _STRING_SOURCES: dict[str, tuple[str, ...]] = {
     "abstract": ("meta:Description", "first_paragraph"),
     "language": ("kv:primary language", "kv:language"),
     "license": ("kv:license",),
+    "buyer": ("kv:buyer", "kv:contracting authority"),
+    "value": ("kv:estimated value", "kv:value"),
+    "deadline": ("kv:deadline", "kv:submission deadline"),
 }
+
+_CPV_CODE = re.compile(r"\b\d{8}-\d\b")
 
 _ARRAY_LINKS = {"tags", "topics", "categories", "links"}
 
@@ -183,8 +200,12 @@ def extract_structured(text: str, schema: dict) -> dict:
         elif typ == "array":
             # arrays always present (strict json_schema output shape):
             # an LLM in strict mode emits [] when nothing is found
-            items = ctx.list_for(prop, prefer_links=prop in _ARRAY_LINKS)
-            out[prop] = list(items) if items else []
+            if prop == "cpv_codes":
+                src = ctx.kv.get("cpv", "")
+                out[prop] = _CPV_CODE.findall(src)
+            else:
+                items = ctx.list_for(prop, prefer_links=prop in _ARRAY_LINKS)
+                out[prop] = list(items) if items else []
         elif typ == "boolean":
             kw = prop.replace("_", " ")
             if re.search(rf"\b{re.escape(kw)}\b", text, re.I):
