@@ -48,7 +48,12 @@ from ares_spark.crawl.frontier import (
     retry_delay_expr,
 )
 from ares_spark.crawl.robots import RobotsMatcher
-from ares_spark.crawl.seen import filter_unseen, host_shard_col, url_hash_col
+from ares_spark.crawl.seen import (
+    ShardedBloomSet,
+    bloom_maybe_seen_col,
+    host_shard_col,
+    url_hash_col,
+)
 from ares_spark.functions.urls import canonicalize_url, url_host
 from ares_spark.operators.clean import process_pages
 from ares_spark.operators.pipeline import extract_distinct
@@ -79,6 +84,8 @@ class CrawlConfig:
     max_generations: int = 64
     batch_interval_s: float = 1.0
     use_bloom: bool = True
+    bloom_min_seen: int = 10_000
+    bloom_capacity_per_shard: int = 1_000_000
     ssrf_filter: bool = True
     n_shards: int = 64
     salt_partitions: int | None = None  # repartition width for the UDF stage
@@ -176,6 +183,10 @@ class CrawlState:
         # A17 semantics (worker.rs:303-314): count visited once, then track
         # locally — avoids rescanning the seen log every generation
         self.visited = visited
+        # maintained per-shard Bloom bitmaps (north_rule seen-set); built
+        # lazily, updated incrementally with each generation's new links,
+        # persisted as sidecars for resume
+        self.bloom_set = None
 
 
 def run_crawl(
@@ -234,6 +245,7 @@ def resume_crawl(
         g + 1,
         visited=man.get("seen_total", 0),
     )
+    state.bloom_set = ShardedBloomSet.load(store.root / "blooms")
     return _drive(spark, pages, state, cfg, robots_raw or {}, meta["schema"], meta["session_id"])
 
 
@@ -383,13 +395,21 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         F.col("__dup_rn") == 1
     )
     # A16 seen-set anti-join (Bloom tier + exact backstop)
-    fresh = filter_unseen(
-        kids.withColumnRenamed("link_hash", "url_hash"),
-        state.seen,
-        spark=spark,
-        use_bloom=cfg.use_bloom,
-        seen_count=state.visited,
-    )
+    candidates = kids.withColumnRenamed("link_hash", "url_hash")
+    if cfg.use_bloom and state.visited > cfg.bloom_min_seen:
+        if state.bloom_set is None:
+            # first activation (or resume without sidecars): build from the
+            # full seen log once; afterwards updates are O(new links)
+            state.bloom_set = ShardedBloomSet(cfg.bloom_capacity_per_shard)
+            state.bloom_set.update(state.seen)
+        maybe = bloom_maybe_seen_col(spark, state.bloom_set.as_bytes_dict())
+        candidates = candidates.withColumn("__maybe_seen", maybe)
+        new_fast = candidates.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        suspects = candidates.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        rescued = suspects.join(state.seen.select("url_hash"), "url_hash", "left_anti")
+        fresh = new_fast.unionByName(rescued)
+    else:
+        fresh = candidates.join(state.seen.select("url_hash"), "url_hash", "left_anti")
     # A17 max_pages: budget over *visited* count, deterministic order
     visited = state.visited
     budget_left = max(cfg.max_pages - visited, 0)
@@ -477,6 +497,10 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         "host_shard",
         F.lit(state.batch_ts).alias("created_at"),
     )
+
+    if state.bloom_set is not None:
+        state.bloom_set.update(new_seen)
+        state.bloom_set.save(state.store.root / "blooms")
 
     # --- lineage + snapshots ----------------------------------------------------
     # one aggregation serves both lineage (per shard) and breaker (per host)

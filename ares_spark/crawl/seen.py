@@ -202,6 +202,133 @@ def filter_unseen(
     return candidates.join(seen.select(hash_col), hash_col, "left_anti")
 
 
+class ShardedBloomSet:
+    """Maintained per-host-shard Bloom bitmaps with incremental updates
+    and sidecar persistence (the north_rule's partitioned bloom-filter
+    URL-seen set, kept across generations instead of rebuilt).
+
+    - bitmaps are sized with headroom (capacity_per_shard); when a shard's
+      inserted count approaches capacity the shard is marked for rebuild
+      at the next maintenance window (fpp stays bounded)
+    - update(new_seen) builds per-shard bitmaps over ONLY the new rows
+      (distributed) and ORs them in — O(new) per generation
+    - save/load round-trips through the snapshot store so resume
+      continues incrementally
+    """
+
+    def __init__(self, capacity_per_shard: int = 1_000_000, fpp: float = 0.01):
+        self.capacity = capacity_per_shard
+        self.fpp = fpp
+        self.blooms: dict[int, BloomFilter] = {}
+        self.counts: dict[int, int] = {}
+
+    def _ensure(self, shard: int) -> BloomFilter:
+        bf = self.blooms.get(shard)
+        if bf is None:
+            bf = BloomFilter.sized(self.capacity, self.fpp)
+            self.blooms[shard] = bf
+            self.counts[shard] = 0
+        return bf
+
+    def update(self, new_seen: DataFrame, hash_col="url_hash", shard_col="host_shard") -> None:
+        """OR-in bitmaps built over the new rows only (distributed build)."""
+        deltas = build_shard_blooms_sized(
+            new_seen, self.capacity, self.fpp, hash_col, shard_col
+        )
+        for shard, (raw, n) in deltas.items():
+            bf = self._ensure(int(shard))
+            delta = BloomFilter.from_bytes(raw)
+            if delta.n_bits == bf.n_bits and delta.n_hashes == bf.n_hashes:
+                bf.bits |= delta.bits
+            else:
+                # a size mismatch would silently create false NEGATIVES —
+                # refuse loudly (capacity/fpp must not change mid-run)
+                raise ValueError(
+                    f"bloom sizing mismatch for shard {shard}: "
+                    f"{delta.n_bits}x{delta.n_hashes} vs {bf.n_bits}x{bf.n_hashes}"
+                )
+            self.counts[int(shard)] = self.counts.get(int(shard), 0) + int(n)
+
+    def overloaded_shards(self) -> list[int]:
+        return [s for s, n in self.counts.items() if n > self.capacity]
+
+    def as_bytes_dict(self) -> dict[int, bytes]:
+        return {s: b.to_bytes() for s, b in self.blooms.items()}
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, directory) -> None:
+        import json as _json
+        from pathlib import Path
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        for shard, bf in self.blooms.items():
+            (d / f"shard-{shard:04d}.bloom").write_bytes(bf.to_bytes())
+        (d / "meta.json").write_text(
+            _json.dumps({"capacity": self.capacity, "fpp": self.fpp, "counts": self.counts})
+        )
+
+    @classmethod
+    def load(cls, directory) -> "ShardedBloomSet | None":
+        import json as _json
+        from pathlib import Path
+
+        d = Path(directory)
+        meta = d / "meta.json"
+        if not meta.exists():
+            return None
+        m = _json.loads(meta.read_text())
+        out = cls(m["capacity"], m["fpp"])
+        out.counts = {int(k): v for k, v in m["counts"].items()}
+        for p in d.glob("shard-*.bloom"):
+            shard = int(p.stem.split("-")[1])
+            out.blooms[shard] = BloomFilter.from_bytes(p.read_bytes())
+        return out
+
+
+def build_shard_blooms_sized(
+    seen: DataFrame, capacity: int, fpp: float,
+    hash_col: str = "url_hash", shard_col: str = "host_shard",
+) -> dict[int, tuple[bytes, int]]:
+    """Like build_shard_blooms but with FIXED sizing (so bitmaps from
+    different generations are OR-compatible). Returns {shard: (bytes, n)}."""
+    import pandas as pd
+
+    def build(batches):
+        acc: dict[int, BloomFilter] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby(shard_col):
+                bf = acc.get(shard)
+                if bf is None:
+                    bf = BloomFilter.sized(capacity, fpp)
+                    acc[shard] = bf
+                    counts[shard] = 0
+                bf.add(grp[hash_col].to_numpy())
+                counts[shard] += len(grp)
+        yield pd.DataFrame(
+            {"shard": list(acc), "bloom": [b.to_bytes() for b in acc.values()],
+             "n": [counts[s] for s in acc]}
+        )
+
+    parts = (
+        seen.select(shard_col, hash_col)
+        .repartition(shard_col)
+        .mapInPandas(build, schema="shard int, bloom binary, n long")
+        .collect()
+    )
+    merged: dict[int, tuple[BloomFilter, int]] = {}
+    for row in parts:
+        bf = BloomFilter.from_bytes(bytes(row.bloom))
+        if row.shard in merged:
+            merged[row.shard][0].bits |= bf.bits
+            merged[row.shard] = (merged[row.shard][0], merged[row.shard][1] + int(row.n))
+        else:
+            merged[row.shard] = (bf, int(row.n))
+    return {s: (b.to_bytes(), n) for s, (b, n) in merged.items()}
+
+
 # -- cuckoo fallback ------------------------------------------------------------
 
 

@@ -1,0 +1,105 @@
+"""Maintained sharded-Bloom seen-set: loop integration + incremental math."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ares_spark.crawl import CrawlConfig, resume_crawl, run_crawl
+from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.crawl.seen import BloomFilter, ShardedBloomSet
+from ares_spark.io.synth import synth_linked_pages
+
+
+def test_sharded_bloom_incremental_equals_batch(spark):
+    """Two incremental updates == one batch build (bitmap OR identity)."""
+    from ares_spark.crawl.seen import host_shard_col, url_hash_col
+
+    def mk(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.concat(F.lit("https://h"), (F.col("id") % 9).cast("string"),
+                             F.lit(".org/p"), F.col("id").cast("string")).alias("url"))
+            .withColumn("url_hash", url_hash_col("url"))
+            .withColumn("host_shard", host_shard_col(F.regexp_extract("url", "https://([^/]+)/", 1)))
+        )
+
+    inc = ShardedBloomSet(capacity_per_shard=10_000)
+    inc.update(mk(0, 3000))
+    inc.update(mk(3000, 6000))
+    batch = ShardedBloomSet(capacity_per_shard=10_000)
+    batch.update(mk(0, 6000))
+    assert inc.as_bytes_dict() == batch.as_bytes_dict()
+    assert sum(inc.counts.values()) == 6000
+
+
+def test_bloom_sharded_roundtrip(tmp_path):
+    s = ShardedBloomSet(capacity_per_shard=1000)
+    bf = s._ensure(3)
+    bf.add(np.array([1, 2, 3], dtype=np.int64))
+    s.counts[3] = 3
+    s.save(tmp_path / "blooms")
+    loaded = ShardedBloomSet.load(tmp_path / "blooms")
+    assert loaded is not None
+    assert loaded.blooms[3].might_contain(np.array([1, 2, 3], dtype=np.int64)).all()
+    assert loaded.counts == {3: 3}
+    assert ShardedBloomSet.load(tmp_path / "nope") is None
+
+
+def test_bloom_sizing_mismatch_refused(spark):
+    from ares_spark.crawl.seen import host_shard_col, url_hash_col
+
+    df = (
+        spark.range(10)
+        .select(F.concat(F.lit("https://x.org/p"), F.col("id").cast("string")).alias("url"))
+        .withColumn("url_hash", url_hash_col("url"))
+        .withColumn("host_shard", F.lit(0))
+    )
+    s = ShardedBloomSet(capacity_per_shard=1000)
+    s.update(df)
+    s.capacity = 50_000  # config drift
+    with pytest.raises(ValueError, match="sizing mismatch"):
+        s.update(df)
+
+
+def test_crawl_loop_with_maintained_bloom(spark, tmp_path_factory):
+    """Bloom-active crawl == exact-path crawl (same seen set), sidecars
+    written, resume reloads them and finishes identically."""
+    pages_df, seed = synth_linked_pages(spark, 300, n_hosts=6, fanout=4)
+    pages = pages_df.cache()
+    base = dict(schema_spec="blog@latest", max_depth=12, max_pages=300,
+                allowed_domains=["example.org"], max_retries=0)
+
+    ck_exact = str(tmp_path_factory.mktemp("bl_exact"))
+    run_crawl(spark, pages, [seed], ck_exact,
+              CrawlConfig(**base, use_bloom=False, max_generations=20), session_id="s")
+
+    ck_bloom = str(tmp_path_factory.mktemp("bl_bloom"))
+    run_crawl(spark, pages, [seed], ck_bloom,
+              CrawlConfig(**base, use_bloom=True, bloom_min_seen=10,
+                          bloom_capacity_per_shard=5000, max_generations=20),
+              session_id="s")
+
+    seen_e = sorted(r.url for r in SnapshotStore(ck_exact).read_all_batches(spark, "url_seen").collect())
+    seen_b = sorted(r.url for r in SnapshotStore(ck_bloom).read_all_batches(spark, "url_seen").collect())
+    # cyclic link graph: the seed is re-discovered and marked seen too
+    # (seed-not-premarked quirk), so all 300 pages end up in the set
+    assert seen_b == seen_e and len(seen_b) == 300
+    assert list((Path(ck_bloom) / "blooms").glob("shard-*.bloom"))
+
+    # resume with sidecars: interrupt after bloom activation (visited
+    # crosses the threshold during gen 2 → sidecars saved), then resume
+    ck_part = str(tmp_path_factory.mktemp("bl_part"))
+    run_crawl(spark, pages, [seed], ck_part,
+              CrawlConfig(**base, use_bloom=True, bloom_min_seen=10,
+                          bloom_capacity_per_shard=5000, max_generations=4),
+              session_id="s")
+    assert (Path(ck_part) / "blooms" / "meta.json").exists()
+    meta = json.loads((Path(ck_part) / "config.json").read_text())
+    meta["cfg"]["max_generations"] = 20
+    (Path(ck_part) / "config.json").write_text(json.dumps(meta))
+    resume_crawl(spark, pages, ck_part)
+    seen_r = sorted(r.url for r in SnapshotStore(ck_part).read_all_batches(spark, "url_seen").collect())
+    assert seen_r == seen_e
