@@ -91,6 +91,7 @@ class CrawlConfig:
     salt_partitions: int | None = None  # repartition width for the UDF stage
     breaker: dict = field(default_factory=dict)
     model: str = "deterministic-extractor-v1"
+    user_agent: str = "ares"  # robots group selection (robots.rs:84-88)
 
 
 def seed_frontier(
@@ -136,9 +137,11 @@ def seed_frontier(
     )
 
 
-def _robots_filter_col(spark, robots_raw: dict[str, str], url_col="link"):
+def _robots_filter_col(spark, robots_raw: dict[str, str], url_col="link",
+                       user_agent: str = "ares"):
     """Vectorized robots check (A5): raw robots.txt texts broadcast, parsed
-    once per executor batch, matched per link. Missing host → allow."""
+    once per executor batch, matched per link against the configured
+    user-agent's group. Missing host → allow."""
     bc = spark.sparkContext.broadcast(robots_raw)
 
     @pandas_udf("boolean")
@@ -156,7 +159,7 @@ def _robots_filter_col(spark, robots_raw: dict[str, str], url_col="link"):
             if m is None:
                 m = RobotsMatcher.parse(raw[h])
                 compiled[h] = m
-            return m.is_allowed(u)
+            return m.is_allowed(u, user_agent)
 
         return urls.map(check)
 
@@ -288,7 +291,7 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         cap = state.breaker.claim_budget(h, g)
         pb = cfg.per_host_budget
         if robots_raw.get(h):
-            delay = RobotsMatcher.parse(robots_raw[h]).crawl_delay()
+            delay = RobotsMatcher.parse(robots_raw[h]).crawl_delay(cfg.user_agent)
             if delay and delay > 0:
                 rb = max(1, int(cfg.politeness_window_s / delay))
                 pb = rb if pb is None else min(pb, rb)
@@ -383,7 +386,9 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
 
         kids = kids.filter(fetchable_col("link"))
     if robots_raw:
-        kids = kids.filter(_robots_filter_col(spark, robots_raw, "link"))
+        kids = kids.filter(
+            _robots_filter_col(spark, robots_raw, "link", cfg.user_agent)
+        )
 
     kids = kids.withColumn("link_hash", F.xxhash64("link")).withColumn(
         "host_shard", host_shard_col("link_host", cfg.n_shards)

@@ -143,3 +143,31 @@ def test_breaker_skips_then_recovers(spark, tmp_path_factory):
     assert rows[f"{host}/x2"].status == "failed"
     breaker = summary["breaker"]["hosts"].get("dead.example.com")
     assert breaker is not None and breaker["consecutive_failures"] >= 2
+
+
+def test_agent_specific_robots_group(spark, tmp_path_factory):
+    """The crawl honors the group matching ITS configured user-agent
+    (robots.rs:84-88 passes the client UA to the matcher)."""
+    host = "https://ua.example.com"
+    spec = {f"{host}/": [f"{host}/a", f"{host}/b"], f"{host}/a": [], f"{host}/b": []}
+    pages = _mk_pages(spark, spec)
+    robots = {"ua.example.com":
+              "User-agent: aresbot\nDisallow: /b\n\nUser-agent: *\nDisallow:\n"}
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    ck = str(tmp_path_factory.mktemp("crawl_ua"))
+    run_crawl(spark, pages, [f"{host}/"], ck,
+              CrawlConfig(max_depth=1, use_bloom=False, user_agent="AresBot/1.0"),
+              robots_raw=robots)
+    seen = sorted(r.url for r in
+                  SnapshotStore(ck).read_all_batches(spark, "url_seen").collect())
+    assert seen == [f"{host}/a"]  # /b blocked for aresbot specifically
+
+    ck2 = str(tmp_path_factory.mktemp("crawl_ua2"))
+    run_crawl(spark, pages, [f"{host}/"], ck2,
+              CrawlConfig(max_depth=1, use_bloom=False, user_agent="otherbot"),
+              robots_raw=robots)
+    seen2 = sorted(r.url for r in
+                   SnapshotStore(ck2).read_all_batches(spark, "url_seen").collect())
+    assert seen2 == [f"{host}/a", f"{host}/b"]  # * group allows all
