@@ -340,6 +340,23 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
             "ungrounded_paths", "created_at", "generation", "claim_pos",
         )
     )
+    # A12 change detection vs the latest prior extraction per url
+    # (scrape.rs:256-299): relevant whenever a url is processed again —
+    # the seed-requeue quirk, recrawls, retry-after-transient-success
+    prior = state.store.read_all_batches(spark, "extractions", g - 1) if g > 0 else None
+    if prior is not None:
+        from ares_spark.operators.pipeline import latest_per_key
+
+        prior_latest = latest_per_key(
+            prior, ["url"], order_col="generation", tiebreak="claim_pos"
+        ).select("url", F.col("data_hash").alias("prev_data_hash"))
+        extractions = extractions.join(prior_latest, "url", "left").withColumn(
+            "changed",
+            F.col("prev_data_hash").isNull()
+            | (F.col("prev_data_hash") != F.col("data_hash")),
+        ).drop("prev_data_hash")
+    else:
+        extractions = extractions.withColumn("changed", F.lit(True))
     state.store.append_batch(extractions.filter(F.col("is_valid")), "extractions", g)
 
     # --- visit log (claim events, reference trace order) ----------------------

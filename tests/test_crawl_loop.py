@@ -191,3 +191,40 @@ def test_resume_mid_crawl(spark, site, tmp_path_factory):
     assert sorted(map(key, f_full.collect())) == sorted(map(key, f_res.collect()))
     # visit logs identical too
     assert _visits(spark, full_ckpt) == _visits(spark, part_ckpt)
+
+
+def test_change_detection_on_requeued_seed(spark, tmp_path_factory):
+    """A12 in the loop: the re-enqueued seed is extracted twice with the
+    same content → second extraction has changed=False; first visits of
+    every url are changed=True."""
+    from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
+
+    seed_html = (b'<html><head><title>Seed</title>'
+                 b'<link rel="canonical" href="https://cd.example.com/">'
+                 b'<meta name="description" content="d">'
+                 b'</head><body><h1>Seed</h1><p>seed body text</p>'
+                 b'<a href="/child">c</a></body></html>')
+    child_html = (b'<html><head><title>Child</title>'
+                  b'<link rel="canonical" href="https://cd.example.com/child">'
+                  b'<meta name="description" content="e">'
+                  b'</head><body><h1>Child</h1><p>child body text</p>'
+                  b'<a href="/">back</a></body></html>')
+    pages = spark.createDataFrame(
+        [("https://cd.example.com/", EPOCH, seed_html, None, "en"),
+         ("https://cd.example.com/child", EPOCH, child_html, None, "en")],
+        PAGES_SCHEMA,
+    )
+    ckpt = str(tmp_path_factory.mktemp("crawl_cd"))
+    run_crawl(spark, pages, ["https://cd.example.com/"], ckpt,
+              CrawlConfig(schema_spec="product", max_depth=3, use_bloom=False,
+                          max_generations=10))
+    ex = SnapshotStore(ckpt).read_all_batches(spark, "extractions")
+    rows = sorted(
+        ((r.url, r.generation, r.changed) for r in ex.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    seed_rows = [r for r in rows if r[0].endswith(".com/")]
+    assert len(seed_rows) == 2  # original visit + requeued visit
+    assert seed_rows[0][2] is True and seed_rows[1][2] is False
+    child_rows = [r for r in rows if "child" in r[0]]
+    assert [r[2] for r in child_rows] == [True]
