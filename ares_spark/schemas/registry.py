@@ -62,3 +62,62 @@ class SchemaRegistry:
         if not path.exists():
             raise FileNotFoundError(f"schema {name}@{version} not found at {path}")
         return name, version, json.loads(path.read_text())
+
+    # -- CRUD (SURVEY.md A26; semantics of schema.rs:261-407) -----------------
+
+    def _write_registry(self) -> None:
+        (self.root / "registry.json").write_text(
+            json.dumps(self._latest, indent=2, sort_keys=True) + "\n"
+        )
+
+    def create(self, name: str, version: str, schema: dict) -> None:
+        """Register a new schema version; refuses to overwrite an existing
+        one (use update). The registry latest moves forward only if the new
+        version is semantically newer."""
+        from ares_spark.operators.validate import validate_schema
+
+        errors = validate_schema(schema)
+        if errors:
+            raise ValueError(f"invalid schema document: {errors}")
+        path = self.root / name / f"{version}.json"
+        if path.exists():
+            raise FileExistsError(f"schema {name}@{version} already exists")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(schema, indent=2) + "\n")
+        cur = self._latest.get(name)
+        if cur is None or compare_versions(version, cur) > 0:
+            self._latest[name] = version
+            self._write_registry()
+
+    def update(self, name: str, version: str, schema: dict) -> None:
+        """Overwrite an EXISTING version's document."""
+        from ares_spark.operators.validate import validate_schema
+
+        errors = validate_schema(schema)
+        if errors:
+            raise ValueError(f"invalid schema document: {errors}")
+        path = self.root / name / f"{version}.json"
+        if not path.exists():
+            raise FileNotFoundError(f"schema {name}@{version} not found")
+        path.write_text(json.dumps(schema, indent=2) + "\n")
+
+    def delete(self, name: str, version: str) -> None:
+        """Remove a version; if it was the registry latest, fall back to the
+        highest remaining version, or drop the name entirely when none
+        remain (schema.rs delete-with-latest-fallback)."""
+        path = self.root / name / f"{version}.json"
+        if not path.exists():
+            raise FileNotFoundError(f"schema {name}@{version} not found")
+        path.unlink()
+        remaining = self.list_versions(name)
+        if self._latest.get(name) == version or name not in self._latest:
+            if remaining:
+                self._latest[name] = remaining[-1]
+            else:
+                self._latest.pop(name, None)
+            self._write_registry()
+        if not remaining:
+            try:
+                path.parent.rmdir()
+            except OSError:
+                pass

@@ -231,3 +231,42 @@ def test_nested_paths():
 
 def test_case_insensitive():
     assert ungrounded_fields(SOURCE, {"t": "BOUNDED CHANNELS"}) == []
+
+
+def test_registry_all_reference_names_resolve():
+    """Registry parity: every schema name the reference ships resolves."""
+    reg = SchemaRegistry()
+    for name in ["blog", "github_repo", "product", "news_article",
+                 "job_listing", "recipe", "event", "dataset",
+                 "public_tenders", "tender_list", "job_board"]:
+        n, v, schema = reg.resolve(f"{name}@latest")
+        assert n == name and schema["type"] == "object", name
+
+
+def test_registry_crud_lifecycle(tmp_path):
+    """A26 (schema.rs:261-407): create / update / delete with latest
+    fallback on delete."""
+    reg = SchemaRegistry(tmp_path)
+    doc = {"type": "object", "properties": {"a": {"type": "string"}}, "required": ["a"]}
+    reg.create("thing", "1.0.0", doc)
+    reg.create("thing", "1.2.0", doc)
+    reg.create("thing", "1.10.0", doc)  # semantic: newest
+    assert reg.resolve("thing@latest")[1] == "1.10.0"
+    # re-create refused; update works
+    with pytest.raises(FileExistsError):
+        reg.create("thing", "1.2.0", doc)
+    doc2 = {**doc, "properties": {"b": {"type": "integer"}}}
+    reg.update("thing", "1.2.0", doc2)
+    assert "b" in reg.resolve("thing@1.2.0")[2]["properties"]
+    # deleting the latest falls back to the highest remaining version
+    reg.delete("thing", "1.10.0")
+    assert reg.resolve("thing@latest")[1] == "1.2.0"
+    # and the fallback survives a fresh registry load
+    assert SchemaRegistry(tmp_path).resolve("thing")[1] == "1.2.0"
+    reg.delete("thing", "1.2.0")
+    reg.delete("thing", "1.0.0")
+    with pytest.raises(FileNotFoundError):
+        SchemaRegistry(tmp_path).resolve("thing@latest")
+    # invalid documents rejected at create
+    with pytest.raises(ValueError):
+        reg.create("bad", "1.0.0", {"type": "object", "required": "nope"})
