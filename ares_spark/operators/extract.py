@@ -39,16 +39,21 @@ class MarkdownContext:
         self.paragraphs: list[str] = []
         self.h1: str | None = None
 
+        # lists with per-item link targets preserved: (heading, [(text, href|None)])
+        self.linked_lists: list[tuple[str, list[tuple[str, str | None]]]] = []
+
         in_meta = False
         heading = ""
         cur_items: list[str] | None = None
+        cur_linked: list[tuple[str, str | None]] = []
         cur_all_links = True
 
         def flush():
-            nonlocal cur_items, cur_all_links
+            nonlocal cur_items, cur_all_links, cur_linked
             if cur_items:
                 self.lists.append((heading, cur_items, cur_all_links))
-            cur_items, cur_all_links = None, True
+                self.linked_lists.append((heading, cur_linked))
+            cur_items, cur_all_links, cur_linked = None, True, []
 
         for rawline in text.split("\n"):
             line = rawline.rstrip()
@@ -66,6 +71,10 @@ class MarkdownContext:
                 if cur_items is None:
                     cur_items = []
                 cur_items.append(_LINK.sub(r"\1", item))
+                lm = _LINK.search(item)
+                cur_linked.append(
+                    (_LINK.sub(r"\1", item), lm.group(2) if lm else None)
+                )
                 if not _LINK.fullmatch(item):
                     cur_all_links = False
                 kv = _KV_LINE.match(line[2:].strip() if line.startswith("* ") else item)
@@ -200,9 +209,15 @@ def extract_structured(text: str, schema: dict) -> dict:
         elif typ == "array":
             # arrays always present (strict json_schema output shape):
             # an LLM in strict mode emits [] when nothing is found
+            item_spec = spec.get("items", {})
             if prop == "cpv_codes":
                 src = ctx.kv.get("cpv", "")
                 out[prop] = _CPV_CODE.findall(src)
+            elif item_spec.get("type") == "object":
+                # listing-page shape (job_board.jobs / tender_list.tenders):
+                # one object per list item, link text → title-ish field,
+                # href → url-ish field, "Label: value" tails → other fields
+                out[prop] = _object_items(ctx, prop, item_spec)
             else:
                 items = ctx.list_for(prop, prefer_links=prop in _ARRAY_LINKS)
                 out[prop] = list(items) if items else []
@@ -210,6 +225,51 @@ def extract_structured(text: str, schema: dict) -> dict:
             kw = prop.replace("_", " ")
             if re.search(rf"\b{re.escape(kw)}\b", text, re.I):
                 out[prop] = True
+    return out
+
+
+def _object_items(ctx: MarkdownContext, prop: str, item_spec: dict) -> list[dict]:
+    """array<object> extraction for listing pages: pick the best list
+    (heading match, else the first link-bearing run) and map each item to
+    an object — first string property gets the link text, a url-typed
+    property gets the href, remaining 'key: value' fragments fill the rest."""
+    props = item_spec.get("properties", {})
+    str_props = [p for p, s in props.items() if s.get("type") == "string"]
+    title_prop = next((p for p in ("title", "name", "headline") if p in props),
+                      str_props[0] if str_props else None)
+    url_prop = next((p for p in str_props if "url" in p or "link" in p), None)
+
+    want = prop.replace("_", " ").lower()
+    chosen = None
+    for heading, items in ctx.linked_lists:
+        if heading and (want in heading or heading in want):
+            chosen = items
+            break
+    if chosen is None:
+        for _, items in ctx.linked_lists:
+            if any(href for _, href in items):
+                chosen = items
+                break
+    if not chosen:
+        return []
+    out = []
+    for text, href in chosen:
+        obj: dict = {}
+        # split "Title — dept · location" style tails conservatively:
+        # the link text is the title; 'k: v' fragments map to fields
+        if title_prop:
+            head = text.split(" — ")[0].split(" | ")[0]
+            obj[title_prop] = head
+        for frag in re.split(r" [—|·] ", text)[1:]:
+            kv = _KV_LINE.match(frag.strip())
+            if kv:
+                key = kv.group(1).strip().lower().replace(" ", "_")
+                if key in props:
+                    obj[key] = kv.group(2)
+        if url_prop and href:
+            obj[url_prop] = href
+        if obj:
+            out.append(obj)
     return out
 
 

@@ -270,3 +270,30 @@ def test_registry_crud_lifecycle(tmp_path):
     # invalid documents rejected at create
     with pytest.raises(ValueError):
         reg.create("bad", "1.0.0", {"type": "object", "required": "nope"})
+
+
+def test_array_of_objects_extraction():
+    """Listing-page shape (job_board/tender_list): one object per list
+    item with link text/href and 'key: value' tails mapped to fields."""
+    from ares_spark.html import clean_html
+    from ares_spark.operators.extract import extract_structured
+
+    html = (
+        '<html><head><title>Careers</title>'
+        '<link rel="canonical" href="https://a.example.com/careers"></head>'
+        "<body><h2>Jobs</h2><ul>"
+        '<li><a href="/jobs/1">Platform Engineer</a> — Department: Infra · Location: Remote</li>'
+        '<li><a href="/jobs/2">Designer</a></li>'
+        "</ul></body></html>"
+    )
+    reg = SchemaRegistry()
+    _, _, schema = reg.resolve("job_board")
+    val = extract_structured(clean_html(html), schema)
+    assert validate_extracted_output(schema, val) == []
+    assert val["jobs"][0] == {
+        "title": "Platform Engineer", "department": "Infra",
+        "location": "Remote", "url": "/jobs/1",
+    }
+    assert val["jobs"][1] == {"title": "Designer", "url": "/jobs/2"}
+    # empty page → jobs: [] (still schema-shaped)
+    assert extract_structured("nothing here", schema) == {"jobs": []}
