@@ -22,7 +22,13 @@ import re
 
 _META_LINE = re.compile(r"^- (URL|Title|Author|Published|Image|Description): (.*)$")
 _KV_LINE = re.compile(r"^(?:\* )?([A-Za-z][A-Za-z0-9 _/-]{0,40}?):\s+(.+)$")
-_LINK = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
+# link text may contain escaped metachars (the cleaner escapes [ ] * etc.)
+_LINK = re.compile(r"\[((?:\\.|[^\]\\])*)\]\(([^)]*)\)")
+_MD_ESCAPE = re.compile(r"\\([\\`*_\[\]#>~+.-])")
+
+
+def _unescape_md(s: str) -> str:
+    return _MD_ESCAPE.sub(r"\1", s)
 _H1 = re.compile(r"^# (.+)$", re.M)
 _NUM_RE = r"([0-9][0-9,]*)"
 
@@ -259,7 +265,7 @@ def _object_items(ctx: MarkdownContext, prop: str, item_spec: dict) -> list[dict
         # the link text is the title; 'k: v' fragments map to fields
         if title_prop:
             head = text.split(" — ")[0].split(" | ")[0]
-            obj[title_prop] = head
+            obj[title_prop] = _unescape_md(head)
         for frag in re.split(r" [—|·] ", text)[1:]:
             kv = _KV_LINE.match(frag.strip())
             if kv:
