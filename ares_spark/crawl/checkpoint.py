@@ -24,7 +24,8 @@ import json
 import os
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -77,3 +78,104 @@ class SnapshotStore:
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
+
+
+class FrontierLog:
+    """Merge-on-read frontier state: base snapshots + per-generation deltas.
+
+    The round-1 frontier rewrote the FULL table every generation —
+    O(all jobs ever) read+join+write per generation, the scale-killer at a
+    10^10-row frontier. This log keeps it O(delta):
+
+    - ``base-g{N}``: resolved LIVE (status=pending) rows as of *before*
+      generation N. Written at seed time (base-g0000) and at every
+      compaction (every ``compact_interval`` generations).
+    - ``batch-g{N}``: generation N's state changes ONLY — claimed rows
+      with their new status (completed / failed / retry-pending) and the
+      newly enqueued children. O(batch + children), never O(frontier).
+    - read_live(g) = latest-wins per job_id over base ∪ deltas, pending
+      rows only. The window partitions by job_id — hash-distributed
+      across the cluster, never a single-task sort. Terminal rows
+      (completed/failed) act as tombstones: the latest row wins and is
+      then filtered out of the live set, so completed jobs cost nothing
+      at claim time.
+    - read_full(g) = live ∪ every terminal row (each job_id is terminal
+      at most once) — the full scrape_jobs-table view, for final-state
+      inspection and trace tests; never on the hot path.
+
+    In an Iceberg deployment base/delta become one table with
+    merge-on-read position deletes, bucket-partitioned by host_shard
+    (MERGE INTO; see job_repository.rs:176-244 for the status-transition
+    contract this reproduces). ``state_gen`` is the write-generation
+    marker resolution orders by; it is internal and stripped on read.
+    """
+
+    def __init__(self, store: SnapshotStore, compact_interval: int = 8):
+        self.store = store
+        self.compact_interval = compact_interval
+        self.dir = store.root / "frontier"
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _base_gens(self) -> list[int]:
+        return sorted(
+            int(p.name.split("base-g")[1]) for p in self.dir.glob("base-g*") if p.is_dir()
+        )
+
+    def _delta_dirs(self, lo: int, hi: int) -> list[str]:
+        out = []
+        for p in sorted(self.dir.glob("batch-g*")):
+            if p.is_dir():
+                n = int(p.name.split("batch-g")[1])
+                if lo <= n <= hi:
+                    out.append(str(p))
+        return out
+
+    def write_base(self, df: DataFrame, before_generation: int) -> None:
+        """Persist resolved live rows as the state before ``before_generation``."""
+        df.withColumn("state_gen", F.lit(before_generation - 1)).write.mode(
+            "overwrite"
+        ).parquet(str(self.dir / f"base-g{before_generation:04d}"))
+
+    def append_delta(self, df: DataFrame, generation: int) -> None:
+        df.withColumn("state_gen", F.lit(generation)).write.mode("overwrite").parquet(
+            str(self.dir / f"batch-g{generation:04d}")
+        )
+
+    def _resolved(self, spark: SparkSession, upto_generation: int) -> DataFrame:
+        bases = [b for b in self._base_gens() if b <= upto_generation + 1]
+        if not bases:
+            raise FileNotFoundError(f"no frontier base at or before g{upto_generation}")
+        b = bases[-1]
+        paths = [str(self.dir / f"base-g{b:04d}")] + self._delta_dirs(b, upto_generation)
+        df = spark.read.parquet(*paths)
+        w = Window.partitionBy("job_id").orderBy(F.col("state_gen").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "state_gen")
+        )
+
+    def read_live(self, spark: SparkSession, upto_generation: int) -> DataFrame:
+        return self._resolved(spark, upto_generation).filter(F.col("status") == "pending")
+
+    def read_full(self, spark: SparkSession, upto_generation: int) -> DataFrame:
+        """Live ∪ terminal rows — the complete jobs-table view (cold path)."""
+        live = self.read_live(spark, upto_generation)
+        deltas = self._delta_dirs(0, upto_generation)
+        if not deltas:
+            return live
+        done = (
+            spark.read.parquet(*deltas)
+            .filter(F.col("state_gen") <= upto_generation)
+            .filter(F.col("status").isin("completed", "failed"))
+            .drop("state_gen")
+        )
+        return live.unionByName(done)
+
+    def maybe_compact(self, spark: SparkSession, generation: int) -> bool:
+        """Fold deltas into a new base every ``compact_interval`` generations —
+        bounds the number of files resolution reads, amortized O(live/K)."""
+        if (generation + 1) % self.compact_interval != 0:
+            return False
+        self.write_base(self.read_live(spark, generation), generation + 1)
+        return True

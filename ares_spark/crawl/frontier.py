@@ -49,36 +49,54 @@ def claimable(frontier: DataFrame, batch_ts: float) -> DataFrame:
     )
 
 
-def _global_claim_pos(df: DataFrame, order_cols) -> DataFrame:
-    """claim_pos = 1-based rank under order_cols. Small batches use the
-    plain window (fewest jobs); large batches switch to the distributed
-    range-partitioned rank so the global sort never runs on one task —
-    ranks are identical either way (order_cols are a total order)."""
-    from ares_spark.operators.ranking import global_rank
+def global_order_rank(
+    df: DataFrame, order_cols, out_col: str = "claim_pos", n_rows: int | None = None
+) -> DataFrame:
+    """``out_col`` = 1-based global rank under order_cols (a total order).
 
-    mode = df.sparkSession.conf.get("ares.rank.mode", "window")
+    Auto-switch (the engine default): batches at or below
+    ``WINDOW_RANK_MAX_ROWS`` use the plain window (fewest jobs); larger
+    batches use the distributed range-partitioned rank so the global sort
+    never runs on one task. Ranks are identical either way (proven in
+    tests/test_ranking.py), so the switch is invisible to the trace.
+    ``n_rows`` is the caller's already-known row count; without it, auto
+    mode pays one count job. ``ares.rank.mode`` in (window|distributed)
+    forces a path (tests / plan audits)."""
+    from ares_spark.operators.ranking import WINDOW_RANK_MAX_ROWS, global_rank
+
+    mode = df.sparkSession.conf.get("ares.rank.mode", "auto")
+    if mode == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+        mode = "window" if n_rows <= WINDOW_RANK_MAX_ROWS else "distributed"
     if mode == "distributed":
-        return global_rank(df, order_cols, out_col="claim_pos")
-    return df.withColumn("claim_pos", F.row_number().over(Window.orderBy(*order_cols)))
-
-
-def order_fifo(df: DataFrame) -> DataFrame:
-    """Reference claim order (job_repository.rs:161-163):
-    next_retry_at NULLS FIRST, then creation order."""
-    return _global_claim_pos(
-        df, [F.col("next_retry_at").asc_nulls_first(), F.col("created_seq").asc()]
+        return global_rank(df, order_cols, out_col=out_col)
+    # cast: global_rank emits long; keep one type so per-generation parquet
+    # appends never mix int/long when the auto-switch flips between gens
+    return df.withColumn(
+        out_col, F.row_number().over(Window.orderBy(*order_cols)).cast("long")
     )
 
 
-def order_host_rr(df: DataFrame) -> DataFrame:
+def order_fifo(df: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Reference claim order (job_repository.rs:161-163):
+    next_retry_at NULLS FIRST, then creation order."""
+    return global_order_rank(
+        df,
+        [F.col("next_retry_at").asc_nulls_first(), F.col("created_seq").asc()],
+        n_rows=n_rows,
+    )
+
+
+def order_host_rr(df: DataFrame, n_rows: int | None = None) -> DataFrame:
     """north_rule priority: host-aware round-robin with depth/score order —
     rank within host by (depth, created_seq), interleave hosts by rank."""
     w_host = Window.partitionBy("host").orderBy(
         F.col("next_retry_at").asc_nulls_first(), F.col("depth").asc(), F.col("created_seq").asc()
     )
     df = df.withColumn("host_rank", F.row_number().over(w_host))
-    return _global_claim_pos(
-        df, [F.col("host_rank"), F.col("host"), F.col("created_seq")]
+    return global_order_rank(
+        df, [F.col("host_rank"), F.col("host"), F.col("created_seq")], n_rows=n_rows
     ).drop("host_rank")
 
 

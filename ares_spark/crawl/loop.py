@@ -29,6 +29,8 @@ Hot-domain skew is defeated by salting: batch processing repartitions by
 from __future__ import annotations
 
 import json
+import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -39,10 +41,11 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ares_spark.crawl.breaker import CircuitBreaker
-from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.crawl.checkpoint import FrontierLog, SnapshotStore
 from ares_spark.crawl.frontier import (
     FRONTIER_SCHEMA,
     claimable,
+    global_order_rank,
     order_fifo,
     order_host_rr,
     retry_delay_expr,
@@ -70,6 +73,18 @@ SEEN_SCHEMA = T.StructType(
 
 _HOST_RE = r"^https?://(?:[^@/]*@)?([^/:?#]+)"
 
+# ARES_LOOP_TIMING=1 prints per-action wall times for each generation —
+# the profiling hook behind crawl_bench perf work
+_TIMING = os.environ.get("ARES_LOOP_TIMING") == "1"
+
+
+def _tick(label: str, t0: float, g: int | None = None) -> float:
+    now = time.time()
+    if _TIMING:
+        tag = f"g{g} " if g is not None else ""
+        print(f"[loop-timing] {tag}{label}: {now - t0:.2f}s", flush=True)
+    return now
+
 
 @dataclass
 class CrawlConfig:
@@ -88,6 +103,7 @@ class CrawlConfig:
     bloom_capacity_per_shard: int = 1_000_000
     ssrf_filter: bool = True
     n_shards: int = 64
+    compact_interval: int = 8  # frontier delta-log compaction cadence (gens)
     salt_partitions: int | None = None  # repartition width for the UDF stage
     breaker: dict = field(default_factory=dict)
     model: str = "deterministic-extractor-v1"
@@ -173,9 +189,10 @@ def _read_seen(spark, store, upto_generation: int):
 
 
 class CrawlState:
-    def __init__(self, store, frontier, seen, batch_ts, seq_base, visit_base, breaker, generation,
-                 visited: int = 0):
+    def __init__(self, store, flog, frontier, seen, batch_ts, seq_base, visit_base, breaker,
+                 generation, visited: int = 0):
         self.store = store
+        self.flog = flog
         self.frontier = frontier
         self.seen = seen
         self.batch_ts = batch_ts
@@ -212,9 +229,15 @@ def run_crawl(
 
         _, _, schema = SchemaRegistry().resolve(cfg.schema_spec)
     t0 = 0.0
-    frontier = seed_frontier(spark, seed_urls, cfg, session_id, t0)
+    flog = FrontierLog(store, compact_interval=cfg.compact_interval)
+    flog.write_base(seed_frontier(spark, seed_urls, cfg, session_id, t0), 0)
+    # read the base back: the hot path and the resume path share one code
+    # path, and the frontier's lineage starts at parquet every generation
+    frontier = flog.read_live(spark, -1)
     seen = spark.createDataFrame([], SEEN_SCHEMA)
-    state = CrawlState(store, frontier, seen, t0, len(seed_urls), 0, CircuitBreaker(**cfg.breaker), 0)
+    state = CrawlState(
+        store, flog, frontier, seen, t0, len(seed_urls), 0, CircuitBreaker(**cfg.breaker), 0
+    )
     # persist config for resume
     (store.root / "config.json").write_text(
         json.dumps({"cfg": cfg.__dict__, "session_id": session_id, "schema": schema})
@@ -237,9 +260,11 @@ def resume_crawl(
     if g is None:
         raise FileNotFoundError("no manifest to resume from")
     man = store.read_manifest(g)
+    flog = FrontierLog(store, compact_interval=cfg.compact_interval)
     state = CrawlState(
         store,
-        store.read_snapshot(spark, "frontier", g),
+        flog,
+        flog.read_live(spark, g),
         _read_seen(spark, store, g),
         man["batch_ts"],
         man["seq_base"],
@@ -256,7 +281,11 @@ def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
     last_summary = {"generations": state.generation, "session_id": session_id}
     while state.generation < cfg.max_generations:
         claim = claimable(state.frontier, state.batch_ts)
-        if claim.limit(1).count() == 0:
+        # one count serves both the empty-check and the rank auto-switch
+        t0 = time.time()
+        n_claimable = claim.count()
+        _tick("claim_count(+frontier materialize)", t0, state.generation)
+        if n_claimable == 0:
             # time-warp to the earliest retry, like an injected test clock
             nxt = state.frontier.filter(F.col("status") == "pending").agg(
                 F.min("next_retry_at")
@@ -265,14 +294,18 @@ def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
                 break
             state.batch_ts = float(nxt)
             continue
-        last_summary = _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id)
+        last_summary = _run_generation(
+            spark, pages, state, cfg, robots_raw, schema, session_id, claim, n_claimable
+        )
     return last_summary
 
 
-def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
+def _run_generation(
+    spark, pages, state, cfg, robots_raw, schema, session_id, claim, n_claimable
+) -> dict:
     g = state.generation
     cfg_order = order_fifo if cfg.ordering == "fifo" else order_host_rr
-    batch = cfg_order(claimable(state.frontier, state.batch_ts))
+    batch = cfg_order(claim, n_rows=n_claimable)
 
     # --- politeness + breaker caps (per host) --------------------------------
     # the distinct-hosts collect is its own Spark job; skip it when no cap
@@ -298,6 +331,30 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         eff = min(x for x in (cap, pb) if x is not None) if (cap is not None or pb is not None) else None
         if eff is not None:
             budgets[h] = eff
+    if hosts and all(budgets.get(h) == 0 for h in hosts):
+        # every claimable host is breaker/politeness-suppressed: tick the
+        # generation clock (the breaker's recovery unit) without burning a
+        # fetch cycle on an empty batch — no extraction, no spider, no
+        # delta (the frontier state is unchanged), just a manifest
+        summary = {
+            "generation": g,
+            "session_id": session_id,
+            "batch_ts": state.batch_ts + cfg.batch_interval_s,
+            "claimed": 0,
+            "completed": 0,
+            "errors": 0,
+            "new_children": 0,
+            "seen_total": state.visited,
+            "seq_base": state.seq_base,
+            "visit_base": state.visit_base,
+            "shards": {},
+            "breaker": state.breaker.to_dict(),
+            "suppressed": True,
+        }
+        state.store.write_manifest(g, summary)
+        state.batch_ts += cfg.batch_interval_s
+        state.generation = g + 1
+        return summary
     if budgets:
         w_host = Window.partitionBy("host").orderBy("claim_pos")
         budget_map = F.create_map(
@@ -309,6 +366,14 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
             .filter(F.col("__budget").isNull() | (F.col("__hrn") <= F.col("__budget")))
             .drop("__hrn", "__budget")
         )
+    # visit positions must stay DENSE after the cap filter: re-rank the
+    # surviving rows in claim order, else positions gap within a generation
+    # and (visit_base advancing by the post-cap count) get reused by the
+    # next one — corrupting the trace the visits log exists for
+    if budgets:
+        batch = global_order_rank(batch, [F.col("claim_pos")], out_col="visit_seq")
+    else:
+        batch = batch.withColumn("visit_seq", F.col("claim_pos"))
 
     # --- fetch (join against the pages table) --------------------------------
     salt_n = cfg.salt_partitions or spark.sparkContext.defaultParallelism
@@ -357,16 +422,19 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         ).drop("prev_data_hash")
     else:
         extractions = extractions.withColumn("changed", F.lit(True))
+    t0 = time.time()
     state.store.append_batch(extractions.filter(F.col("is_valid")), "extractions", g)
+    t0 = _tick("extractions_append", t0, g)
 
     # --- visit log (claim events, reference trace order) ----------------------
     visits = fetched.select(
-        (F.lit(state.visit_base) + F.col("claim_pos") - 1).alias("visit_pos"),
+        (F.lit(state.visit_base) + F.col("visit_seq") - 1).alias("visit_pos"),
         "url",
         F.when(F.col("html").isNotNull(), "completed").otherwise("fetch_error").alias("outcome"),
         F.lit(g).alias("generation"),
     )
     state.store.append_batch(visits, "visits", g)
+    t0 = _tick("visits_append", t0, g)
 
     # --- spider: next-generation children -------------------------------------
     spider_src = processed.filter(
@@ -417,7 +485,10 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         F.col("__dup_rn") == 1
     )
     # A16 seen-set anti-join (Bloom tier + exact backstop)
+    from pyspark import StorageLevel
+
     candidates = kids.withColumnRenamed("link_hash", "url_hash")
+    cand_pinned = None
     if cfg.use_bloom and state.visited > cfg.bloom_min_seen:
         if state.bloom_set is None:
             # first activation (or resume without sidecars): build from the
@@ -425,22 +496,32 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
             state.bloom_set = ShardedBloomSet(cfg.bloom_capacity_per_shard)
             state.bloom_set.update(state.seen)
         maybe = bloom_maybe_seen_col(spark, state.bloom_set.as_bytes_dict())
-        candidates = candidates.withColumn("__maybe_seen", maybe)
-        new_fast = candidates.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-        suspects = candidates.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        # persist: the maybe/not-maybe split consumes candidates TWICE —
+        # without it the whole spider lineage (explode + filters + dedup
+        # window) re-executes per branch
+        cand_pinned = candidates.withColumn("__maybe_seen", maybe).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new_fast = cand_pinned.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        suspects = cand_pinned.filter(F.col("__maybe_seen")).drop("__maybe_seen")
         rescued = suspects.join(state.seen.select("url_hash"), "url_hash", "left_anti")
         fresh = new_fast.unionByName(rescued)
     else:
         fresh = candidates.join(state.seen.select("url_hash"), "url_hash", "left_anti")
-    # A17 max_pages: budget over *visited* count, deterministic order
+    # A17 max_pages: budget over *visited* count, deterministic order.
+    # The rank is the same auto-switching global rank as claim ordering:
+    # at web scale a generation can emit 10M+ fresh links and an
+    # unpartitioned window here would be the serial section.
     visited = state.visited
     budget_left = max(cfg.max_pages - visited, 0)
-    w_order = Window.orderBy("claim_pos", "link_rank")
-    fresh = (
-        fresh.withColumn("__rank", F.row_number().over(w_order))
-        .filter(F.col("__rank") <= budget_left)
-    )
-    children = fresh.select(
+    fresh_pinned = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+    n_fresh = fresh_pinned.count()
+    t0 = _tick("spider_fresh_count", t0, g)
+    capped = global_order_rank(
+        fresh_pinned, [F.col("claim_pos"), F.col("link_rank")], out_col="__rank",
+        n_rows=n_fresh,
+    ).filter(F.col("__rank") <= budget_left)
+    children = capped.select(
         F.md5(F.concat_ws(":", F.lit(session_id), (F.lit(state.seq_base) + F.col("__rank") - 1), "link")).alias("job_id"),
         F.col("link").alias("url"),
         F.col("url_hash"),
@@ -462,55 +543,52 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         F.lit(g + 1).alias("generation"),
         F.lit(None).cast("string").alias("error"),
     ).cache()
-    n_children = children.count()
+    # n_children needs no extra job: the budget filter keeps exactly
+    # min(n_fresh, budget_left) rows (__rank is dense from 1)
+    n_children = min(n_fresh, budget_left)
 
     # --- frontier state transitions (A21/A22) ---------------------------------
-    completed = found.select("job_id").withColumn("__new_status", F.lit("completed"))
-    failed_retry = missing.select("job_id", "retry_count", "max_retries").withColumn(
-        "__attempt", F.col("retry_count") + 1
-    )
+    # merge-on-read: the generation's DELTA is just the claimed rows with
+    # their new state + the new children — O(batch), never the O(frontier)
+    # full-table join+rewrite. Unclaimed pending rows are simply not
+    # rewritten; FrontierLog resolves latest-wins per job_id at read.
     frontier_cols = [f.name for f in FRONTIER_SCHEMA.fields]
-    updated = (
-        state.frontier.join(
-            completed.unionByName(
-                failed_retry.select("job_id", F.lit("__retry").alias("__new_status"))
-            ),
-            "job_id",
-            "left",
-        )
-        .withColumn(
+    fetch_failed = F.col("html").isNull()
+    changed = (
+        fetched.withColumn(
+            # can_retry() gates on the OLD count (job.rs:125-127:
+            # retry_count < max_retries) → max_retries retries after the
+            # initial attempt, i.e. max_retries+1 total claims
             "status",
-            F.when(F.col("__new_status") == "completed", "completed")
-            .when(
-                (F.col("__new_status") == "__retry")
-                & (F.col("retry_count") + 1 < F.col("max_retries")),
-                "pending",
-            )
-            .when(F.col("__new_status") == "__retry", "failed")
-            .otherwise(F.col("status")),
+            F.when(~fetch_failed, "completed")
+            .when(F.col("retry_count") < F.col("max_retries"), "pending")
+            .otherwise("failed"),
         )
         .withColumn(
+            # increments ONLY when a retry is scheduled
+            # (job_repository.rs:211: retry_count + 1 iff next_retry set);
+            # a permanent fail keeps the old count
             "retry_count",
-            F.when(F.col("__new_status") == "__retry", F.col("retry_count") + 1).otherwise(
-                F.col("retry_count")
-            ),
+            F.when(
+                fetch_failed & (F.col("status") == "pending"), F.col("retry_count") + 1
+            ).otherwise(F.col("retry_count")),
         )
         .withColumn(
             "next_retry_at",
             F.when(
-                (F.col("__new_status") == "__retry") & (F.col("status") == "pending"),
+                fetch_failed & (F.col("status") == "pending"),
                 F.lit(state.batch_ts) + retry_delay_expr("retry_count"),
-            ).otherwise(F.when(F.col("status") == "pending", F.col("next_retry_at"))),
+            ).otherwise(F.lit(None).cast("double")),
         )
         .withColumn(
             "error",
-            F.when(F.col("__new_status") == "__retry", F.lit("fetch_error: url not in pages")).otherwise(
+            F.when(fetch_failed, F.lit("fetch_error: url not in pages")).otherwise(
                 F.col("error")
             ),
         )
         .select(*frontier_cols)
     )
-    next_frontier = updated.unionByName(children.select(*frontier_cols))
+    delta = changed.unionByName(children.select(*frontier_cols))
 
     new_seen = children.select(
         F.lit(session_id).alias("crawl_session_id"),
@@ -530,6 +608,7 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
         F.sum(F.col("html").isNull().cast("int")).alias("err"),
     ).collect()
+    t0 = _tick("hostshard_stats_collect", t0, g)
     shard_stats: dict[int, dict] = {}
     for r in hh_stats:
         s = shard_stats.setdefault(int(r.host_shard), {"fetched": 0, "errors": 0})
@@ -538,12 +617,17 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         state.breaker.record(r.host, int(r.ok), int(r.err), g)
 
     n_batch = int(sum(s["fetched"] + s["errors"] for s in shard_stats.values()))
-    state.store.write_snapshot(next_frontier, "frontier", g)
+    state.flog.append_delta(delta, g)
+    t0 = _tick("frontier_delta_append", t0, g)
+    compacted = state.flog.maybe_compact(spark, g)
+    if compacted:
+        t0 = _tick("frontier_compact", t0, g)
     # url_seen is INSERT-only (ON CONFLICT DO NOTHING semantics), so it
     # checkpoints as per-generation appends — O(new links), never a
     # rewrite of the 10^10-row set. Readers union the log
     # (SnapshotStore.read_all_batches('url_seen')).
     state.store.append_batch(new_seen, "url_seen", g)
+    t0 = _tick("url_seen_append", t0, g)
     summary = {
         "generation": g,
         "session_id": session_id,
@@ -557,16 +641,26 @@ def _run_generation(spark, pages, state, cfg, robots_raw, schema, session_id) ->
         "visit_base": state.visit_base + n_batch,
         "shards": shard_stats,
         "breaker": state.breaker.to_dict(),
+        "frontier_compacted": compacted,
     }
     state.store.write_manifest(g, summary)
 
     fetched.unpersist()
     processed.unpersist()
+    if cand_pinned is not None:
+        cand_pinned.unpersist()
+    fresh_pinned.unpersist()
     children.unpersist()
 
-    # re-read snapshots: truncates the iterative lineage (plan growth is the
-    # classic iterative-Spark failure mode) and makes resume path == hot path
-    state.frontier = state.store.read_snapshot(spark, "frontier", g)
+    # re-read from the log: truncates the iterative lineage (plan growth is
+    # the classic iterative-Spark failure mode) and makes resume == hot path.
+    # Persist the resolved live view: claim-count + ordering both consume it
+    # next generation and would otherwise re-run the merge window twice.
+    from pyspark import StorageLevel
+
+    prev_frontier = state.frontier
+    state.frontier = state.flog.read_live(spark, g).persist(StorageLevel.MEMORY_AND_DISK)
+    prev_frontier.unpersist()
     state.seen = _read_seen(spark, state.store, g)
     state.batch_ts += cfg.batch_interval_s
     state.seq_base = summary["seq_base"]

@@ -243,23 +243,22 @@ def scrape_batch(
         )
 
         if prior_extractions is not None:
-            # cache hits: reuse prior extracted_data for known content hashes
+            # cache hits: reuse prior results for known content hashes.
+            # Only VALID priors are hits (an invalid row handed in by a
+            # caller must not resurrect as valid), and the stored
+            # validation_errors/ungrounded_paths are carried through so a
+            # cache hit reports exactly what a fresh extraction would.
             prior_hits = (
                 prior_extractions.filter(
-                    (F.col("schema_name") == schema_name) & (F.col("model") == model)
+                    (F.col("schema_name") == schema_name)
+                    & (F.col("model") == model)
+                    & F.col("is_valid")
                 )
-                .select(
-                    "content_hash",
-                    F.col("extracted_data").alias("extracted_data"),
-                )
-                .dropDuplicates(["content_hash"])
-                .withColumn("is_valid", F.lit(True))
-                .withColumn("validation_errors", F.array().cast(T.ArrayType(T.StringType())))
-                .withColumn("ungrounded_paths", F.array().cast(T.ArrayType(T.StringType())))
                 .select(
                     "content_hash", "extracted_data", "is_valid",
                     "validation_errors", "ungrounded_paths",
                 )
+                .dropDuplicates(["content_hash"])
             )
             misses = distinct_texts.join(
                 prior_hits.select("content_hash"), "content_hash", "left_anti"

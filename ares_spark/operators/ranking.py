@@ -3,14 +3,16 @@
 ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels every
 row through ONE task — fine for small claim batches, the serial section
 at 10M-row crawl generations. This module computes the identical rank
-distributed:
+distributed, entirely JVM-side (no Python/Arrow round trip):
 
 1. range-repartition by the order key (boundaries come from sampling and
-   may vary run-to-run; they affect placement only, never rank values)
-2. sort within partitions
-3. one pass to count rows per partition → cumulative offsets (driver,
+   may vary run-to-run; they affect placement only, never rank values) —
+   partition i holds keys strictly below partition i+1
+2. one counting pass → cumulative offset per partition (driver,
    O(#partitions))
-4. second pass assigns rank = partition offset + local position
+3. rank = offset[pid] + row_number() over (PARTITION BY pid ORDER BY
+   keys) — a *partitioned* window: parallel, whole-stage-codegen, never
+   a single-task sort
 
 Requires the order columns to form a TOTAL order (include a unique
 tiebreaker — the engine always has created_seq/url_hash). Ranks are then
@@ -19,10 +21,7 @@ unique, dense from 1, and equal to the single-task window's output.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,46 +37,39 @@ def global_rank(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
     # persist: range boundaries come from sampling at execution time, so
-    # the count pass and the assign pass MUST read the same materialized
+    # the count pass and the rank pass MUST read the same materialized
     # partitioning (a re-executed exchange could re-sample differently)
     from pyspark import StorageLevel
 
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # pass 1: rows per physical partition (cheap: runs on the sorted data)
-    counts_df = ranged.select(F.spark_partition_id().alias("pid")).groupBy("pid").count()
-    counts = {r.pid: r["count"] for r in counts_df.collect()}
-    offsets = {}
-    acc = 0
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
+    if not counts:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offsets_b = spark.sparkContext.broadcast(offsets)
-
-    from pyspark.sql import types as T
-
-    # NOTE: StructType.add mutates in place and DataFrame.schema is cached —
-    # build the output schema without touching df.schema
-    field_names = [f.name for f in df.schema.fields]
-    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        pos = offsets_b.value.get(pid, 0)
-        for pdf in batches:
-            n = len(pdf)
-            out = pdf[field_names].copy()
-            out[out_col] = range(pos + 1, pos + n + 1)
-            pos += n
-            yield out
-
-    return ranged.mapInPandas(assign, schema=out_schema)
+    # offsets as a literal map: O(#partitions) entries, folded into codegen
+    off_expr = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )[F.col("__pid")]
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return ranged.withColumn(
+        out_col, (off_expr + F.row_number().over(w)).cast("long")
+    ).drop("__pid")
 
 
 # threshold above which the frontier ordering switches from the
-# single-task window to the distributed rank (rows)
-WINDOW_RANK_MAX_ROWS = 2_000_000
+# single-task window to the distributed rank (rows). 50k keeps tiny test
+# batches on the cheap window while real crawl generations (100k+ URLs,
+# unbounded at web scale) take the distributed path — the window's
+# single-task sort is the serial section the auto-switch exists to avoid.
+# Env-overridable for perf experiments (ARES_WINDOW_RANK_MAX_ROWS).
+import os
+
+WINDOW_RANK_MAX_ROWS = int(os.environ.get("ARES_WINDOW_RANK_MAX_ROWS", "50000"))

@@ -18,6 +18,7 @@ vectorized pandas-UDF column for frontier pre-filtering.
 from __future__ import annotations
 
 import ipaddress
+import re
 from urllib.parse import urlsplit
 
 import pandas as pd
@@ -56,6 +57,41 @@ def is_private_ip(ip_str: str) -> bool:
     )
 
 
+_HEX_RE = re.compile(r"0[xX][0-9a-fA-F]*$")
+_OCT_RE = re.compile(r"0[0-7]*$")
+
+
+def normalize_obscure_ipv4(host: str) -> str | None:
+    """Dotted-decimal is not the only IPv4 spelling a URL parser accepts:
+    per WHATWG/inet_aton, '2130706433', '0x7f000001', '017700000001' and
+    '127.1' all mean 127.0.0.1 — the reference's Rust ``url`` crate
+    normalizes these before ``is_private_ip`` ever sees them
+    (fetcher.rs:197-254). Returns the canonical dotted form, or None if
+    ``host`` is not an all-numeric IPv4 spelling."""
+    h = host[:-1] if host.endswith(".") else host  # WHATWG: one trailing dot
+    parts = h.split(".")
+    if not parts or len(parts) > 4 or any(p == "" for p in parts):
+        return None
+    vals = []
+    for p in parts:
+        if _HEX_RE.fullmatch(p):
+            vals.append(int(p, 16) if len(p) > 2 else 0)  # bare "0x" == 0
+        elif _OCT_RE.fullmatch(p):
+            vals.append(int(p, 8))
+        elif p.isascii() and p.isdigit():
+            vals.append(int(p, 10))
+        else:
+            return None
+    prefix, last = vals[:-1], vals[-1]
+    if any(v > 255 for v in prefix) or last >= 1 << (8 * (4 - len(prefix))):
+        return None
+    n = 0
+    for v in prefix:
+        n = (n << 8) | v
+    n = (n << (8 * (4 - len(prefix)))) | last
+    return str(ipaddress.IPv4Address(n))
+
+
 def url_fetchable(url: str, resolver=None) -> tuple[bool, str | None]:
     """(allowed, reason_if_blocked). ``resolver(host) -> [ip_str]`` enables
     the reference's resolve-and-check-all behavior where DNS exists."""
@@ -77,7 +113,15 @@ def url_fetchable(url: str, resolver=None) -> tuple[bool, str | None]:
         ipaddress.ip_address(host)
         is_literal = True
     except ValueError:
-        is_literal = False
+        # decimal/hex/octal/short-dotted IPv4 spellings parse as
+        # "hostnames" for ipaddress but as IPs for every URL fetcher —
+        # normalize so '2130706433' can't smuggle 127.0.0.1 past the guard
+        norm = normalize_obscure_ipv4(host)
+        if norm is not None:
+            host = norm
+            is_literal = True
+        else:
+            is_literal = False
     if is_literal:
         if is_private_ip(host):
             return False, f"SSRF blocked: {host} resolves to private/reserved IP"
@@ -95,11 +139,39 @@ def url_fetchable(url: str, resolver=None) -> tuple[bool, str | None]:
     return True, None
 
 
+def fetchable_series(urls: pd.Series) -> pd.Series:
+    """Vectorized url_fetchable over a pandas Series.
+
+    Fast path (C-speed regex, no per-row Python): a URL whose host
+    contains a letter outside the hex/0x alphabet ([g-w y z]) cannot be
+    any IPv4 spelling (dotted, decimal, hex, octal) — it is a named host,
+    allowed unless it smells like localhost. Everything else (IP-ish
+    hosts, bracketed IPv6, odd schemes, empty hosts) takes the exact
+    per-row ``url_fetchable`` — rare on real link corpora, so the
+    row-at-a-time cost never dominates. Equivalence with url_fetchable
+    is pinned in tests/test_ssrf.py::test_fetchable_series_parity."""
+    s = urls.fillna("")
+    # urlsplit (WHATWG/bpo-43882) strips \r\n\t anywhere — mirror it so the
+    # fast path sees the same host the slow path would
+    dirty = s.str.contains(r"[\r\n\t]", regex=True)
+    if dirty.any():
+        s = s.where(~dirty, s.str.replace(r"[\r\n\t]", "", regex=True))
+    host = s.str.extract(r"(?i)^https?://(?:[^@/?#]*@)?([^/:?#\[\]]+)", expand=False)
+    fast = host.str.contains(r"[g-wyzG-WYZ]", regex=True, na=False) & ~host.str.contains(
+        "localhost", case=False, na=False
+    )
+    out = pd.Series(True, index=s.index)
+    slow = ~fast
+    if slow.any():
+        out.loc[slow] = [url_fetchable(u)[0] for u in s.loc[slow]]
+    return out
+
+
 def fetchable_col(url_col="url"):
     """Vectorized pre-fetch filter column (no DNS — literal/obvious cases)."""
 
     @pandas_udf("boolean")
     def check(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: url_fetchable(u)[0])
+        return fetchable_series(urls)
 
     return check(F.col(url_col) if isinstance(url_col, str) else url_col)

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ares_spark.crawl import CrawlConfig, resume_crawl, run_crawl
-from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.crawl.checkpoint import FrontierLog, SnapshotStore
 from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
 
 SEED = CRAWL_SEED_URL
@@ -61,10 +61,16 @@ def test_depth2_retries_tag_pages(spark, site, tmp_path_factory):
     summary = run_crawl(
         spark, site, [SEED], ckpt,
         CrawlConfig(schema_spec="blog@latest", max_depth=2, max_pages=100,
-                    max_retries=2, use_bloom=False, max_generations=20),
+                    max_retries=2, use_bloom=False, max_generations=20,
+                    # this test pins RETRY scheduling; keep the per-host
+                    # breaker out of the way (5 same-host fetch errors would
+                    # open it and stretch the retries over its recovery
+                    # windows — breaker semantics are pinned in
+                    # test_crawl_scale_modes)
+                    breaker={"failure_threshold": 1_000}),
     )
     store = SnapshotStore(ckpt)
-    frontier = store.read_snapshot(spark, "frontier", summary["generation"])
+    frontier = FrontierLog(store).read_full(spark, summary["generation"])
     rows = {r.url: r for r in frontier.collect()}
     tag_urls = [u for u in rows if "/tag/" in u]
     assert tag_urls, "tag pages should have been enqueued at depth 2"
@@ -74,10 +80,11 @@ def test_depth2_retries_tag_pages(spark, site, tmp_path_factory):
         assert rows[u].error.startswith("fetch_error")
     # completed pages stayed completed
     assert rows[SEED].status == "completed"
-    # tag URLs were claimed max_retries+1 times total? (initial + 1 retry)
+    # can_retry() gates on the OLD retry_count (job.rs:125-127), so
+    # max_retries=2 means initial attempt + 2 retries = 3 claims total
     visits = _visits(spark, ckpt)
     tag_visits = [v for v in visits if "/tag/" in v[1]]
-    assert len(tag_visits) == len(tag_urls) * 2  # initial attempt + 1 retry
+    assert len(tag_visits) == len(tag_urls) * 3
 
 
 def test_max_pages_budget(spark, site, tmp_path_factory):
@@ -115,7 +122,7 @@ def test_domain_filter_default_seed_host(spark, site, tmp_path_factory):
         CrawlConfig(schema_spec="blog@latest", max_depth=1, max_retries=1,
                     use_bloom=False, max_generations=10),
     )
-    frontier = SnapshotStore(ckpt).read_snapshot(spark, "frontier", summary["generation"])
+    frontier = FrontierLog(SnapshotStore(ckpt)).read_full(spark, summary["generation"])
     urls = [r.url for r in frontier.collect()]
     assert "https://seed.example.com/local" in urls
     assert not any("other.example.net" in u for u in urls)
@@ -185,8 +192,8 @@ def test_resume_mid_crawl(spark, site, tmp_path_factory):
     resumed = resume_crawl(spark, site, part_ckpt)
 
     assert resumed["generation"] == full["generation"]
-    f_full = SnapshotStore(full_ckpt).read_snapshot(spark, "frontier", full["generation"])
-    f_res = SnapshotStore(part_ckpt).read_snapshot(spark, "frontier", resumed["generation"])
+    f_full = FrontierLog(SnapshotStore(full_ckpt)).read_full(spark, full["generation"])
+    f_res = FrontierLog(SnapshotStore(part_ckpt)).read_full(spark, resumed["generation"])
     key = lambda r: (r.url, r.status, r.retry_count, r.created_seq)
     assert sorted(map(key, f_full.collect())) == sorted(map(key, f_res.collect()))
     # visit logs identical too

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ares_spark.crawl import CrawlConfig, run_crawl
-from ares_spark.crawl.checkpoint import SnapshotStore
+from ares_spark.crawl.checkpoint import FrontierLog, SnapshotStore
 from ares_spark.crawl.frontier import order_host_rr
 from ares_spark.crawl.seen import filter_unseen
 from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
@@ -136,7 +136,7 @@ def test_breaker_skips_then_recovers(spark, tmp_path_factory):
                     allowed_domains=["fine.example.com", "dead.example.com"],
                     breaker={"failure_threshold": 2}),
     )
-    frontier = SnapshotStore(ckpt).read_snapshot(spark, "frontier", summary["generation"])
+    frontier = FrontierLog(SnapshotStore(ckpt)).read_full(spark, summary["generation"])
     rows = {r.url: r for r in frontier.collect()}
     assert rows[f"{ok}/a"].status == "completed"
     assert rows[f"{host}/x1"].status == "failed"
@@ -154,7 +154,7 @@ def test_agent_specific_robots_group(spark, tmp_path_factory):
     robots = {"ua.example.com":
               "User-agent: aresbot\nDisallow: /b\n\nUser-agent: *\nDisallow:\n"}
     from ares_spark.crawl import CrawlConfig, run_crawl
-    from ares_spark.crawl.checkpoint import SnapshotStore
+    from ares_spark.crawl.checkpoint import FrontierLog, SnapshotStore
 
     ck = str(tmp_path_factory.mktemp("crawl_ua"))
     run_crawl(spark, pages, [f"{host}/"], ck,

@@ -68,6 +68,11 @@ def test_pipeline_change_detection(spark, pages):
         "provider",
         "schema_version",
         "created_at",
+        # the A24 cache reuses only VALID priors and carries their stored
+        # validation columns through — history rows must provide them
+        "is_valid",
+        "validation_errors",
+        "ungrounded_paths",
     ).cache()
     # re-scrape the same pages with the prior history: nothing changed,
     # and every content hash is a cache hit (A24)
@@ -107,3 +112,35 @@ def test_latest_per_key(spark):
                                 ["url", "schema_name"]).collect()
     }
     assert got == {"u1": "c", "u2": "z"}
+
+
+def test_pipeline_cache_ignores_invalid_priors(spark, pages):
+    """An invalid prior row handed in by a caller must NOT resurrect as a
+    valid cache hit, and cache hits must report the STORED validation
+    columns (not synthesized empties)."""
+    _, _, schema = SchemaRegistry().resolve("blog")
+    first = scrape_batch(pages, schema, "blog").cache()
+    cols = [
+        "id", "url", "schema_name", "extracted_data", "content_hash",
+        "data_hash", "model", "provider", "schema_version", "created_at",
+        "is_valid", "validation_errors", "ungrounded_paths",
+    ]
+    # poison the history: flip every prior to invalid
+    poisoned = first.select(*cols).withColumn("is_valid", F.lit(False))
+    second = scrape_batch(pages, schema, "blog", prior_extractions=poisoned, mode="staged").cache()
+    # nothing is a cache hit -> results equal a fresh extraction, row by row
+    fresh = scrape_batch(pages, schema, "blog").cache()
+    j = second.alias("s").join(fresh.alias("f"), "url")
+    assert j.filter(
+        (F.col("s.is_valid") != F.col("f.is_valid"))
+        | (F.col("s.extracted_data") != F.col("f.extracted_data"))
+    ).count() == 0
+    # genuine (valid) priors: hits carry the stored ungrounded_paths through
+    second2 = scrape_batch(
+        pages, schema, "blog",
+        prior_extractions=first.select(*cols), mode="staged",
+    ).cache()
+    j2 = second2.alias("s").join(first.filter(F.col("is_valid")).alias("p"), "url")
+    assert j2.filter(
+        F.col("s.ungrounded_paths") != F.col("p.ungrounded_paths")
+    ).count() == 0

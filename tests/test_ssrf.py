@@ -78,3 +78,59 @@ def test_fetchable_col_vectorized(spark):
         "http://169.254.169.254/": False,
         "https://8.8.8.8/ok": True,
     }
+
+
+@pytest.mark.parametrize(
+    "host",
+    ["2130706433", "0x7f000001", "017700000001", "127.1", "127.0.1",
+     "0xA9.0xFE.0xA9.0xFE", "0251.0376.0251.0376", "2852039166"],
+)
+def test_obscure_ipv4_spellings_blocked(host):
+    """Decimal/hex/octal/short-dotted spellings of 127.0.0.1 and
+    169.254.169.254 must not smuggle past the literal-IP check."""
+    ok, reason = url_fetchable(f"http://{host}/latest/meta-data/")
+    assert not ok and "SSRF blocked" in reason
+
+
+def test_obscure_public_ipv4_allowed():
+    # 134744072 == 8.8.8.8 — obscure but public, the reference allows it
+    assert url_fetchable("http://134744072/")[0]
+    assert url_fetchable("http://0x08080808/")[0]
+
+
+def test_obscure_normalizer_leaves_hostnames_alone():
+    from ares_spark.operators.ssrf import normalize_obscure_ipv4
+
+    assert normalize_obscure_ipv4("example.com") is None
+    assert normalize_obscure_ipv4("123abc") is None
+    assert normalize_obscure_ipv4("1.2.3.4.5") is None
+    assert normalize_obscure_ipv4("2130706433") == "127.0.0.1"
+    assert normalize_obscure_ipv4("127.1") == "127.0.0.1"
+
+
+def test_fetchable_series_parity():
+    """The vectorized fast path must agree with url_fetchable row-by-row."""
+    import pandas as pd
+
+    from ares_spark.operators.ssrf import fetchable_series
+
+    urls = [
+        "https://example.com", "http://evil.com:8080/x?a=1#f",
+        "http://user:pw@example.org/p", "HTTP://UPPER.example.COM/",
+        "http://localhost/x", "http://foo.localhost/x", "http://LOCALHOST:99/",
+        "http://127.0.0.1/", "http://2130706433/", "http://0x7f000001/",
+        "http://017700000001/", "http://127.1/", "http://134744072/",
+        "http://169.254.169.254/meta", "http://[::1]/", "http://[fe80::1]/x",
+        "http://[2001:4860:4860::8888]/", "ftp://example.com/", "file:///etc/passwd",
+        "http:///nohost", "http://@/", "", None, "not a url",
+        "http://deadbeef.ca/", "http://face.cafe/", "http://0xg.com/",
+        "http://my_host.example/", "http://local\nhost/", "http://evil.com\n/x",
+        "http://xn--bcher-kva.example/", "javascript:alert(1)",
+        "http://10.0.0.1/", "http://192.168.1.1:8080/", "http://8.8.8.8/",
+        "http://0251.0376.0251.0376/", "http://1.2.3.4.5/", "http://123abc.com/",
+    ]
+    got = fetchable_series(pd.Series(urls, dtype=object)).tolist()
+    want = [url_fetchable(u if u is not None else "")[0] for u in urls]
+    assert got == want, [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ]
