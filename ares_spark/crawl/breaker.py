@@ -63,12 +63,17 @@ class CircuitBreaker:
             if hs.state == "half_open":
                 hs.half_open_successes += successes
                 if hs.half_open_successes >= 2 and failures == 0:
-                    hs.state = "closed"
-                    hs.consecutive_failures = 0
-                    hs.recovery_gens = self.base_recovery_gens
+                    # fully recovered: drop the entry so the tracked set
+                    # stays bounded by currently failing/recovering hosts
+                    # (the driver-side state must not grow with every host
+                    # that ever failed once)
+                    del self.hosts[host]
                     return
             else:
                 hs.consecutive_failures = 0
+                if hs.state == "closed" and failures == 0:
+                    del self.hosts[host]
+                    return
         if hs.state == "half_open" and failures > 0:
             hs.recovery_gens = min(hs.recovery_gens * 2, self.max_recovery_gens)
             hs.state = "open"

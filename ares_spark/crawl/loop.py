@@ -104,6 +104,7 @@ class CrawlConfig:
     ssrf_filter: bool = True
     n_shards: int = 64
     compact_interval: int = 8  # frontier delta-log compaction cadence (gens)
+    breaker_feed_top_k: int = 10_000  # max failing hosts fed to the breaker/gen
     salt_partitions: int | None = None  # repartition width for the UDF stage
     breaker: dict = field(default_factory=dict)
     model: str = "deterministic-extractor-v1"
@@ -153,33 +154,72 @@ def seed_frontier(
     )
 
 
-def _robots_filter_col(spark, robots_raw: dict[str, str], url_col="link",
-                       user_agent: str = "ares"):
-    """Vectorized robots check (A5): raw robots.txt texts broadcast, parsed
-    once per executor batch, matched per link against the configured
-    user-agent's group. Missing host → allow."""
-    bc = spark.sparkContext.broadcast(robots_raw)
+def _robots_allowed_col(user_agent: str = "ares"):
+    """Vectorized robots check (A5) over (link, robots_txt) pairs — the
+    robots corpus arrives via a JOIN on host, never as a whole-corpus
+    driver broadcast (at 10^7 hosts a dict broadcast exceeds limits; a
+    host-keyed table joins only the hosts present in the batch). Texts
+    parse once per (text, partition) via a partition-local memo. Missing
+    host (null text) → allow."""
 
     @pandas_udf("boolean")
-    def allowed(urls: pd.Series) -> pd.Series:
-        compiled: dict[str, RobotsMatcher | None] = {}
-        raw = bc.value
+    def allowed(urls: pd.Series, txts: pd.Series) -> pd.Series:
+        compiled: dict[str, RobotsMatcher] = {}
 
-        def check(u):
+        def check(u, t):
             if not u:
                 return False
-            h = url_host(u)
-            if h not in raw:
+            if t is None:
                 return True
-            m = compiled.get(h)
+            m = compiled.get(t)
             if m is None:
-                m = RobotsMatcher.parse(raw[h])
-                compiled[h] = m
+                m = RobotsMatcher.parse(t)
+                compiled[t] = m
             return m.is_allowed(u, user_agent)
 
-        return urls.map(check)
+        return pd.Series([check(u, t) for u, t in zip(urls, txts)], dtype=bool)
 
-    return allowed(F.col(url_col))
+    return allowed
+
+
+def _robots_assets(spark, robots_raw: dict[str, str] | None, cfg: "CrawlConfig"):
+    """Robots corpus as DataFrames. The sandbox API takes a dict (a live
+    deployment passes a robots TABLE); everything downstream is join-based.
+    Returns (robots_df(host, robots_txt) | None,
+             robots_budgets(host, robots_budget) | None) — budgets are the
+    per-generation politeness caps derived from Crawl-delay, parsed
+    EXECUTOR-side and materialized once per crawl (persisted), so no
+    generation ever parses robots on the driver."""
+    if not robots_raw:
+        return None, None
+    robots_df = spark.createDataFrame(
+        sorted(robots_raw.items()), "host string, robots_txt string"
+    )
+    ua, window_s = cfg.user_agent, cfg.politeness_window_s
+
+    @pandas_udf("double")
+    def delay_of(txts: pd.Series) -> pd.Series:
+        return txts.map(
+            lambda t: float(RobotsMatcher.parse(t or "").crawl_delay(ua) or 0.0)
+        )
+
+    from pyspark import StorageLevel
+
+    budgets = (
+        robots_df.withColumn("__delay", delay_of("robots_txt"))
+        .filter(F.col("__delay") > 0)
+        .select(
+            "host",
+            F.greatest(F.lit(1), F.floor(F.lit(window_s) / F.col("__delay")))
+            .cast("int")
+            .alias("robots_budget"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if budgets.count() == 0:
+        budgets.unpersist()
+        budgets = None
+    return robots_df, budgets
 
 
 def _read_seen(spark, store, upto_generation: int):
@@ -207,6 +247,9 @@ class CrawlState:
         # lazily, updated incrementally with each generation's new links,
         # persisted as sidecars for resume
         self.bloom_set = None
+        # robots corpus as join-able DataFrames (built once per drive)
+        self.robots_df = None
+        self.robots_budgets = None
 
 
 def run_crawl(
@@ -278,6 +321,7 @@ def resume_crawl(
 
 
 def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
+    state.robots_df, state.robots_budgets = _robots_assets(spark, robots_raw, cfg)
     last_summary = {"generations": state.generation, "session_id": session_id}
     while state.generation < cfg.max_generations:
         claim = claimable(state.frontier, state.batch_ts)
@@ -308,69 +352,71 @@ def _run_generation(
     batch = cfg_order(claim, n_rows=n_claimable)
 
     # --- politeness + breaker caps (per host) --------------------------------
-    # the distinct-hosts collect is its own Spark job; skip it when no cap
-    # source is active (no configured budget, no robots delays, every
-    # breaker closed) — the common fast path costs zero extra jobs
-    budgets: dict[str, int] = {}
-    caps_possible = (
-        cfg.per_host_budget is not None
-        or bool(robots_raw)
-        or any(hs.state != "closed" for hs in state.breaker.hosts.values())
-    )
-    hosts = (
-        [r.host for r in batch.select("host").distinct().collect()] if caps_possible else []
-    )
-    for h in hosts:
+    # never a distinct-hosts collect (unbounded at 10^6+ hosts/batch):
+    # breaker caps are a SMALL driver set (only failing/recovering hosts are
+    # tracked) broadcast-joined in; robots crawl-delay budgets are a
+    # once-per-crawl DataFrame joined by host; per_host_budget is a scalar
+    breaker_caps: dict[str, int] = {}
+    for h in list(state.breaker.hosts):
         cap = state.breaker.claim_budget(h, g)
-        pb = cfg.per_host_budget
-        if robots_raw.get(h):
-            delay = RobotsMatcher.parse(robots_raw[h]).crawl_delay(cfg.user_agent)
-            if delay and delay > 0:
-                rb = max(1, int(cfg.politeness_window_s / delay))
-                pb = rb if pb is None else min(pb, rb)
-        eff = min(x for x in (cap, pb) if x is not None) if (cap is not None or pb is not None) else None
-        if eff is not None:
-            budgets[h] = eff
-    if hosts and all(budgets.get(h) == 0 for h in hosts):
-        # every claimable host is breaker/politeness-suppressed: tick the
-        # generation clock (the breaker's recovery unit) without burning a
-        # fetch cycle on an empty batch — no extraction, no spider, no
-        # delta (the frontier state is unchanged), just a manifest
-        summary = {
-            "generation": g,
-            "session_id": session_id,
-            "batch_ts": state.batch_ts + cfg.batch_interval_s,
-            "claimed": 0,
-            "completed": 0,
-            "errors": 0,
-            "new_children": 0,
-            "seen_total": state.visited,
-            "seq_base": state.seq_base,
-            "visit_base": state.visit_base,
-            "shards": {},
-            "breaker": state.breaker.to_dict(),
-            "suppressed": True,
-        }
-        state.store.write_manifest(g, summary)
-        state.batch_ts += cfg.batch_interval_s
-        state.generation = g + 1
-        return summary
-    if budgets:
+        if cap is not None:
+            breaker_caps[h] = cap
+    caps_active = (
+        cfg.per_host_budget is not None
+        or state.robots_budgets is not None
+        or bool(breaker_caps)
+    )
+    if caps_active:
         w_host = Window.partitionBy("host").orderBy("claim_pos")
-        budget_map = F.create_map(
-            *[x for h, b in budgets.items() for x in (F.lit(h), F.lit(b))]
+        batch = batch.withColumn("__hrn", F.row_number().over(w_host))
+        budget_cols = []
+        if cfg.per_host_budget is not None:
+            budget_cols.append(F.lit(cfg.per_host_budget))
+        if state.robots_budgets is not None:
+            batch = batch.join(F.broadcast(state.robots_budgets), "host", "left")
+            budget_cols.append(F.col("robots_budget"))
+        if breaker_caps:
+            caps_df = spark.createDataFrame(
+                sorted(breaker_caps.items()), "host string, breaker_cap int"
+            )
+            batch = batch.join(F.broadcast(caps_df), "host", "left")
+            budget_cols.append(F.col("breaker_cap"))
+        budget = F.least(*budget_cols) if len(budget_cols) > 1 else budget_cols[0]
+        batch = batch.filter(budget.isNull() | (F.col("__hrn") <= budget)).drop(
+            "__hrn", "robots_budget", "breaker_cap"
         )
-        batch = (
-            batch.withColumn("__hrn", F.row_number().over(w_host))
-            .withColumn("__budget", budget_map[F.col("host")])
-            .filter(F.col("__budget").isNull() | (F.col("__hrn") <= F.col("__budget")))
-            .drop("__hrn", "__budget")
-        )
+        # a zero cap (open breaker) can suppress the whole batch: tick the
+        # generation clock (the breaker's recovery unit) without burning a
+        # fetch cycle — no extraction, no spider, no delta, just a manifest
+        if (
+            breaker_caps
+            and min(breaker_caps.values()) == 0
+            and batch.limit(1).count() == 0
+        ):
+            summary = {
+                "generation": g,
+                "session_id": session_id,
+                "batch_ts": state.batch_ts + cfg.batch_interval_s,
+                "claimed": 0,
+                "completed": 0,
+                "errors": 0,
+                "new_children": 0,
+                "seen_total": state.visited,
+                "seq_base": state.seq_base,
+                "visit_base": state.visit_base,
+                "shards": {},
+                "breaker": state.breaker.to_dict(),
+                "suppressed": True,
+            }
+            state.store.write_manifest(g, summary)
+            state.batch_ts += cfg.batch_interval_s
+            state.generation = g + 1
+            return summary
     # visit positions must stay DENSE after the cap filter: re-rank the
     # surviving rows in claim order, else positions gap within a generation
     # and (visit_base advancing by the post-cap count) get reused by the
     # next one — corrupting the trace the visits log exists for
-    if budgets:
+    if caps_active:
         batch = global_order_rank(batch, [F.col("claim_pos")], out_col="visit_seq")
     else:
         batch = batch.withColumn("visit_seq", F.col("claim_pos"))
@@ -470,9 +516,17 @@ def _run_generation(
         from ares_spark.operators.ssrf import fetchable_col
 
         kids = kids.filter(fetchable_col("link"))
-    if robots_raw:
-        kids = kids.filter(
-            _robots_filter_col(spark, robots_raw, "link", cfg.user_agent)
+    if state.robots_df is not None:
+        # A5 at scale: join the robots TABLE by host (only hosts present in
+        # this batch's links flow through; AQE broadcasts when small)
+        kids = (
+            kids.join(
+                state.robots_df.withColumnRenamed("host", "link_host"),
+                "link_host",
+                "left",
+            )
+            .filter(_robots_allowed_col(cfg.user_agent)(F.col("link"), F.col("robots_txt")))
+            .drop("robots_txt")
         )
 
     kids = kids.withColumn("link_hash", F.xxhash64("link")).withColumn(
@@ -603,18 +657,34 @@ def _run_generation(
         state.bloom_set.save(state.store.root / "blooms")
 
     # --- lineage + snapshots ----------------------------------------------------
-    # one aggregation serves both lineage (per shard) and breaker (per host)
-    hh_stats = fetched.groupBy("host", "host_shard").agg(
+    # lineage aggregates stay in Spark: the driver collects ≤ n_shards rows
+    # for the manifest plus a BOUNDED breaker feed — failing hosts (top-K by
+    # errors) and already-tracked hosts only, never every host in the batch
+    host_stats = fetched.groupBy("host", "host_shard").agg(
         F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
         F.sum(F.col("html").isNull().cast("int")).alias("err"),
-    ).collect()
+    )
+    shard_rows = (
+        host_stats.groupBy("host_shard")
+        .agg(F.sum("ok").alias("ok"), F.sum("err").alias("err"))
+        .collect()
+    )
+    feed = host_stats.filter(F.col("err") > 0).orderBy(
+        F.col("err").desc(), "host"
+    ).limit(cfg.breaker_feed_top_k)
+    if state.breaker.hosts:
+        tracked_df = spark.createDataFrame(
+            [(h,) for h in sorted(state.breaker.hosts)], "host string"
+        )
+        feed = feed.unionByName(
+            host_stats.join(F.broadcast(tracked_df), "host", "left_semi")
+        ).dropDuplicates(["host"])
+    for r in feed.collect():
+        state.breaker.record(r.host, int(r.ok), int(r.err), g)
     t0 = _tick("hostshard_stats_collect", t0, g)
     shard_stats: dict[int, dict] = {}
-    for r in hh_stats:
-        s = shard_stats.setdefault(int(r.host_shard), {"fetched": 0, "errors": 0})
-        s["fetched"] += int(r.ok)
-        s["errors"] += int(r.err)
-        state.breaker.record(r.host, int(r.ok), int(r.err), g)
+    for r in shard_rows:
+        shard_stats[int(r.host_shard)] = {"fetched": int(r.ok), "errors": int(r.err)}
 
     n_batch = int(sum(s["fetched"] + s["errors"] for s in shard_stats.values()))
     state.flog.append_delta(delta, g)
