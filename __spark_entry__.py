@@ -357,6 +357,27 @@ def q_d03_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.35)
 
 
+def q_d06_minhash_lsh_xx(spark, sf_dir):
+    """xxhash64 minhash signatures — the scale-default variant of d02
+    (half the signature cost; xxhash64 is not DuckDB-expressible →
+    rows-only check). Same banding/threshold so results should coincide
+    with d02 on this corpus."""
+    from ares_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.35, hash_fn="xx")
+
+
+def q_t05_fingerprint_xx(spark, sf_dir):
+    """xxhash64 xor-fold fingerprint — scale-default variant of t04
+    (no per-shingle md5 strings, no sort; rows-only check)."""
+    from ares_spark.functions.text import doc_fingerprint_xx
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint_xx("text").alias("fingerprint_xx")
+    )
+
+
 def q_d04_simhash(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64-based — no SQL oracle; rows-only)."""
     from ares_spark.operators.dedup import simhash_near_pairs
@@ -584,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b12_partition_pruning": q_b12_partition_pruning,
         "d03_ngram_jaccard": q_d03_ngram_jaccard,
         "d04_simhash": q_d04_simhash,
+        "d06_minhash_lsh_xx": q_d06_minhash_lsh_xx,
+        "t05_fingerprint_xx": q_t05_fingerprint_xx,
         "s01_ann_bruteforce": q_s01_ann_bruteforce,
         "s02_ann_lsh": q_s02_ann_lsh,
         "c01_cleaner_fixtures": q_c01_cleaner_fixtures,

@@ -139,3 +139,17 @@ def doc_fingerprint(col, n: int = 3) -> Column:
     (md5 chosen because Spark and DuckDB md5 agree byte-for-byte.)"""
     sh = F.array_sort(F.array_distinct(F.transform(shingles(col, n), F.md5)))
     return F.md5(F.concat_ws("", sh))
+
+
+def doc_fingerprint_xx(col, n: int = 3) -> Column:
+    """xxhash64 variant of doc_fingerprint — the SCALE default: one 64-bit
+    JVM hash per shingle and a single xor-fold instead of per-shingle md5
+    strings + a sort + a concat (the sort alone is O(s log s) per doc).
+    Same identity property (order-insensitive content hash, collisions
+    negligible at 64 bits for triage); not SQL-expressible in DuckDB, so
+    it carries a rows-only driver check (t05)."""
+    hashes = F.array_distinct(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+    # xor over the distinct set is order-insensitive — no sort needed
+    return F.aggregate(
+        hashes, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )

@@ -47,20 +47,44 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16,
-                      shingle_n: int = 3) -> DataFrame:
-    """(id, sig: array<string>) — sig[k] = min over shingles of
-    md5(k || ':' || shingle). md5-based so DuckDB reproduces it exactly."""
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, sh: array<string>) distinct shingles, PERSISTED — every caller
+    consumes it at least twice (index build + exact confirm / both sides
+    of a self-join), and the shingling expression is the expensive part
+    (measured ~4× the whole op when recomputed per consumer)."""
+    from pyspark import StorageLevel
+
+    return df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _minhash_sig_col(sh_col, num_hashes: int, hash_fn: str):
     def _minhash_k(k: int):
         # closure factory: default-arg lambdas change the lambda's arity and
         # make Spark pass the element index as the extra argument
+        if hash_fn == "xx":
+            return lambda s: F.xxhash64(F.lit(k), s)
         return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
 
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    sig = F.array(
-        *[F.array_min(F.transform(sh, _minhash_k(k))) for k in range(num_hashes)]
+    return F.array(
+        *[F.array_min(F.transform(sh_col, _minhash_k(k))) for k in range(num_hashes)]
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16,
+                      shingle_n: int = 3, hash_fn: str = "md5") -> DataFrame:
+    """(id, sig) — sig[k] = min over shingles of hash(k, shingle).
+
+    hash_fn='md5' (strings) is DuckDB-reproducible — the oracle path.
+    hash_fn='xx' (xxhash64 longs) is the SCALE default: one 64-bit JVM
+    hash instead of a 128-bit digest + string materialization per
+    (shingle, k); not SQL-expressible, so it carries a rows-only driver
+    check (d06)."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    return df.select(
+        F.col(id_col), _minhash_sig_col(sh, num_hashes, hash_fn).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -71,19 +95,30 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard confirmation.
 
     bands of rows=num_hashes/bands; a pair is a candidate if any band's
     minhash slice matches; candidates confirmed with exact shingle Jaccard
     ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    ``hash_fn`` picks the signature hash (see minhash_signature).
     """
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col("sig")[b * rows + r] for r in range(rows)]))
-        for b in range(bands)
-    ]
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sigs = sh.select(
+        F.col(id_col), _minhash_sig_col(F.col("sh"), num_hashes, hash_fn).alias("sig")
+    )
+    if hash_fn == "xx":
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col("sig")[b * rows + r] for r in range(rows)]))
+            for b in range(bands)
+        ]
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
     ).dropDuplicates([id_col, "bucket"])
@@ -93,10 +128,6 @@ def minhash_lsh_pairs(
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
     )
     return (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -117,14 +148,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dups via inverted shingle index.
 
     Pairs are generated ONLY for docs sharing ≥1 shingle (explode + self
     join on shingle), then scored exactly. Returns (id_a, id_b, jaccard).
+
+    ``max_doc_freq`` caps the inverted index: a shingle present in more
+    than that many docs is dropped BEFORE the self-join — a stop-shingle
+    in n docs would otherwise emit O(n²) candidate pairs for that one key
+    (the self-join's skew bomb at corpus scale). Recall contract: a true
+    duplicate pair is missed only if EVERY shingle it shares is above the
+    cap — impossible when the cap exceeds real duplicate-group sizes,
+    which is how the default is chosen; set None for the exact
+    (oracle-equivalent) behavior.
     """
-    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("sh"))
+    sh = _shingle_table(df, text_col, id_col, shingle_n)
     inv = sh.select(F.col(id_col), F.col("sh"), F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle")
     cand = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")

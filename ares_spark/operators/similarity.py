@@ -17,8 +17,10 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -79,7 +81,14 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col, dim: int, planes: int = 8, seed: int = 42):
-    """Bucket id column: sign bits against `planes` fixed hyperplanes."""
+    """Bucket id column: sign bits against `planes` fixed hyperplanes.
+
+    Expression-tree variant (one plane = one literal array + fold) — kept
+    for single-table uses and as the spec the vectorized signature stage
+    must match (pinned in test_dedup_similarity); for multi-table
+    signatures use ``table_signatures_col`` (one numpy matmul per Arrow
+    batch instead of tables×planes expression trees, and no megabyte
+    literal arrays in the task binary)."""
     hps = _hyperplanes(dim, planes, seed)
     bucket = F.lit(0).cast("long")
     for i, hp in enumerate(hps):
@@ -89,6 +98,37 @@ def lsh_bucket(vec_col, dim: int, planes: int = 8, seed: int = 42):
         )
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+def table_signatures_col(spark, vec_col, dim: int, planes: int, tables: int, seed: int = 42):
+    """array<long> column: per-table LSH bucket ids, computed in ONE
+    vectorized pass — the plane matrix (tables·planes × dim) is a Spark
+    broadcast and each Arrow batch does a single numpy matmul. Bit i of
+    table t is sign(vec · plane(seed+1000t, i)), identical to
+    ``lsh_bucket`` up to float summation order."""
+    import numpy as np
+
+    rows: list[list[float]] = []
+    for t in range(tables):
+        rows += _hyperplanes(dim, planes, seed + 1000 * t)
+    bc = spark.sparkContext.broadcast(np.asarray(rows, dtype=np.float64))
+    n_planes, n_tables = planes, tables
+
+    @pandas_udf("array<long>")
+    def sig(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        P = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ P.T) > 0  # (n, tables*planes)
+        bits = bits.reshape(len(V), n_tables, n_planes)
+        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+        buckets = (bits * weights).sum(axis=2, dtype=np.int64)  # (n, tables)
+        return pd.Series(list(buckets))
+
+    return sig(vec_col)
 
 
 def lsh_ann_topk(
@@ -116,34 +156,32 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window
 
+    spark = corpus.sparkSession
+    sigs = table_signatures_col(spark, F.col(vec_col), dim, planes, tables, seed)
     c_buckets = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":", F.lit(str(t)),
-                        lsh_bucket(F.col(vec_col), dim, planes, seed + 1000 * t).cast("string"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("bucket"),
+        F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("__t", "__b")
+    ).select(
+        id_col, vec_col, F.concat_ws(":", F.col("__t"), F.col("__b")).alias("bucket")
     )
-    probe_cols = []
-    for t in range(tables):
-        b = lsh_bucket(F.col(vec_col), dim, planes, seed + 1000 * t)
-        variants = [b]
-        if multiprobe_bits >= 1:
-            variants += [b.bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
-        probe_cols += [
-            F.concat_ws(":", F.lit(str(t)), v.cast("string")) for v in variants
-        ]
-    probes = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(F.array(*probe_cols)).alias("bucket"),
+    # probes: per-table bucket plus 1-bit multiprobe flips, all JVM-side
+    # bit math over the vectorized signatures
+    variants = [F.col("__b")]
+    if multiprobe_bits >= 1:
+        variants += [F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+    probes = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.posexplode(table_signatures_col(spark, F.col(vec_col), dim, planes, tables, seed)).alias(
+                "__t", "__b"
+            ),
+        )
+        .select(
+            query_id_col, "__qvec", "__t", F.explode(F.array(*variants)).alias("__bv")
+        )
+        .select(
+            query_id_col, "__qvec", F.concat_ws(":", F.col("__t"), F.col("__bv")).alias("bucket")
+        )
     )
     cand = (
         c_buckets.join(F.broadcast(probes), "bucket")

@@ -82,3 +82,56 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"recall@5 = {recall}"
+
+
+def test_ngram_jaccard_df_cap_stop_shingles(spark):
+    """A stop-shingle shared by every doc must not explode candidates:
+    with max_doc_freq below corpus size, pairs sharing ONLY the stop
+    shingle disappear, while true near-dups (sharing rare shingles)
+    survive."""
+    stop = "click here now"  # 3-gram present in every doc
+    rows = [(i, f"{stop} unique filler {i} words body {i}") for i in range(40)]
+    rows += [
+        (100, f"{stop} the quick brown fox jumps over the lazy dog"),
+        (101, f"{stop} the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got  # true near-dup found via its rare shingles
+    # no pair of the filler docs qualifies (their only shared shingles are
+    # the capped stop shingles and they fail the threshold anyway)
+    assert all(a >= 100 for a, b in got)
+    # uncapped finds the same accepted pairs on this corpus (cap affects
+    # candidate GENERATION, not scoring)
+    uncapped = {(r.id_a, r.id_b) for r in
+                ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=None).collect()}
+    assert got == uncapped
+
+
+def test_minhash_xx_matches_md5_on_fixture(spark, docs):
+    """The xxhash64 signature path finds the same confirmed near-dup pairs
+    as the md5 path on the fixture corpus (different banding randomness,
+    same exact-Jaccard confirmation)."""
+    md5_pairs = {(r.id_a, r.id_b, r.jaccard) for r in
+                 minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    xx_pairs = {(r.id_a, r.id_b, r.jaccard) for r in
+                minhash_lsh_pairs(docs, threshold=0.3, hash_fn="xx").collect()}
+    assert xx_pairs == md5_pairs
+
+
+def test_fingerprint_xx_properties(spark):
+    """Order-insensitive, content-sensitive."""
+    from ares_spark.functions.text import doc_fingerprint_xx
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "delta epsilon alpha beta gamma"),  # same shingle set? NO (3-grams differ)
+        (2, "alpha beta gamma delta epsilon"),  # identical text
+        (3, "alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r.f for r in
+          df.select("doc_id", doc_fingerprint_xx("text").alias("f")).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[3]
