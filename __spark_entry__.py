@@ -16,8 +16,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -462,6 +464,214 @@ _FIXTURES = [
 ]
 
 
+# --------------------------------------------------------------------------
+# A-series parity tables: operator semantics pinned as golden case tables
+# (the reference's unit-test expectations re-expressed as value-checked
+# driver queries — robots.rs:36-89, fetcher.rs:197-280, scrape.rs:166-177,
+# groundedness.rs:30-98, circuit_breaker.rs:43-72, schema.rs:413-438)
+# --------------------------------------------------------------------------
+
+_R1 = "User-agent: *\nDisallow: /admin\n"
+_R2 = "User-agent: Ares\nDisallow: /secret\n\nUser-agent: *\nAllow: /\n"
+_R3 = "User-agent: *\nDisallow: /*.php$\nAllow: /shop\nDisallow: /shop/private\n"
+_R4 = "User-agent: *\nDisallow:\n"
+_A05_CASES = [
+    # (case_id, user_agent, robots_txt, url) — 1-4 are the reference's own
+    # matcher tests (robots.rs:94-131); 5-10 pin RFC 9309 longest-match,
+    # $-anchor, query handling, empty-Disallow and empty-corpus behavior
+    (1, "ares", _R1, "https://example.com/admin/page"),
+    (2, "ares", _R1, "https://example.com/public/page"),
+    (3, "ares", _R2, "https://example.com/secret"),
+    (4, "otherbot", _R2, "https://example.com/secret"),
+    (5, "ares", _R3, "https://example.com/index.php"),
+    (6, "ares", _R3, "https://example.com/index.php?x=1"),
+    (7, "ares", _R3, "https://example.com/shop/private/x"),
+    (8, "ares", _R3, "https://example.com/shop/item"),
+    (9, "ares", _R4, "https://example.com/anything"),
+    (10, "ares", "", "https://example.com/x"),
+]
+_A05_EXPECT = [False, True, False, True, False, True, False, True, True, True]
+
+
+def q_a05_robots_matrix(spark, sf_dir):
+    """A5 decision-procedure parity: UA group selection, longest-match,
+    wildcards/$-anchor, empty rules — through the engine's matcher."""
+    from ares_spark.crawl.robots import RobotsMatcher
+
+    df = spark.createDataFrame(
+        _A05_CASES, "case_id int, user_agent string, robots_txt string, url string"
+    )
+
+    @pandas_udf("boolean")
+    def allowed(urls: pd.Series, txts: pd.Series, uas: pd.Series) -> pd.Series:
+        return pd.Series(
+            [RobotsMatcher.parse(t).is_allowed(u, ua) for u, t, ua in zip(urls, txts, uas)],
+            dtype=bool,
+        )
+
+    return df.select("case_id", allowed("url", "robots_txt", "user_agent").alias("allowed"))
+
+
+_A02_URLS = [
+    "http://127.0.0.1/admin", "http://169.254.169.254/latest/meta-data/",
+    "file:///etc/passwd", "https://example.com/", "http://localhost:8080/x",
+    "http://foo.localhost/x", "http://10.0.0.1/", "http://192.168.1.1/",
+    "http://8.8.8.8/", "http://[::1]/", "http://[2001:4860:4860::8888]/",
+    "ftp://example.com/", "http://2130706433/", "http://0x7f000001/",
+    "http://127.1/", "http://134744072/", "http://100.64.0.1/", "http://192.0.2.5/",
+]
+_A02_EXPECT = [False, False, False, True, False, False, False, False, True, False,
+               True, False, False, False, False, True, False, False]
+
+
+def q_a02_ssrf_guard(spark, sf_dir):
+    """A2 SSRF range-set parity (fetcher.rs:197-280) incl. decimal/hex/
+    short-dotted IPv4 spellings, through the engine's vectorized filter."""
+    from ares_spark.operators.ssrf import fetchable_col
+
+    df = spark.createDataFrame(
+        list(enumerate(_A02_URLS, 1)), "case_id int, url string"
+    )
+    return df.select("case_id", fetchable_col("url").alias("allowed"))
+
+
+def q_a04_politeness_budget(spark, sf_dir):
+    """A4 crawl-delay → per-generation budget (throttle.rs semantics at
+    batch granularity): budget = max(1, floor(window / delay)); hosts
+    without a delay carry no cap. Through the engine's _robots_assets."""
+    from ares_spark.crawl.loop import CrawlConfig, _robots_assets
+
+    raw = {
+        "h1.example.com": "User-agent: *\nCrawl-delay: 30\n",
+        "h2.example.com": "User-agent: *\nCrawl-delay: 7\n",
+        "h3.example.com": "User-agent: *\nCrawl-delay: 120\n",
+        "h4.example.com": "User-agent: *\nDisallow: /x\n",
+        "h5.example.com": "User-agent: other\nCrawl-delay: 5\n\nUser-agent: *\nCrawl-delay: 15\n",
+    }
+    _, budgets = _robots_assets(spark, raw, CrawlConfig(politeness_window_s=60.0))
+    return budgets.select("host", "robots_budget").orderBy("host")
+
+
+def q_a07_content_cap(spark, sf_dir):
+    """A7 content cap counts CHARACTERS, not bytes (scrape.rs:166-177) —
+    multibyte pages keep exactly `cap` chars however many bytes that is."""
+    cases = [("ascii", "x" * 120), ("latin", "é" * 120), ("cjk", "中" * 120),
+             ("emoji", "😀" * 120), ("short", "y" * 10)]
+    rows = [(n, f"<html><body><p>{c}</p></body></html>".encode()) for n, c in cases]
+    df = spark.createDataFrame(rows, "name string, html binary")
+
+    @pandas_udf("struct<n_chars:int,n_bytes:int>")
+    def capped(htmls: pd.Series) -> pd.DataFrame:
+        from ares_spark.html import process_html
+
+        out = []
+        for h in htmls:
+            text, _ = process_html(bytes(h).decode(), "https://cap.example.org/", 50)
+            out.append({"n_chars": len(text), "n_bytes": len(text.encode())})
+        return pd.DataFrame(out)
+
+    c = capped("html")
+    return df.select("name", c.n_chars.alias("n_chars"), c.n_bytes.alias("n_bytes"))
+
+
+_A10_CASES = [
+    # (case_id, source, value_json) — groundedness.rs:30-98 semantics:
+    # short atomic strings + URL-ish values must be substrings or fully
+    # significant-token-covered; >8-word strings are skipped; paths walk
+    # nested objects/arrays
+    (1, "The Quick Brown Fox jumps", '{"title": "quick brown"}'),
+    (2, "The Quick Brown Fox jumps", '{"title": "Fox Quick"}'),
+    (3, "The Quick Brown Fox jumps", '{"title": "zebra stampede"}'),
+    (4, "The Quick Brown Fox jumps", '{"url": "https://other.example.net/x"}'),
+    (5, "short source", '{"s": "one two three four five six seven eight nine unmatched"}'),
+    (6, "The Quick Brown Fox jumps", '{"a": {"b": ["zebra", "quick"]}}'),
+    (7, "The Quick Brown Fox jumps", '{"t": "ab cd"}'),
+    (8, "published 2024-01-02 by staff", '{"date": "2024-01-02"}'),
+    (9, "The Quick Brown Fox jumps", '"zebra"'),
+]
+_A10_EXPECT = ["", "", "title", "url", "", "a.b[0]", "t", "", "<root>"]
+
+
+def q_a10_groundedness_matrix(spark, sf_dir):
+    """A10 groundedness semantics as a value-checked parity table."""
+    import json as _json
+
+    df = spark.createDataFrame(_A10_CASES, "case_id int, source string, value_json string")
+
+    @pandas_udf("string")
+    def ungrounded(srcs: pd.Series, vals: pd.Series) -> pd.Series:
+        from ares_spark.operators.groundedness import ungrounded_fields
+
+        return pd.Series(
+            [",".join(ungrounded_fields(s, _json.loads(v))) for s, v in zip(srcs, vals)]
+        )
+
+    return df.select("case_id", ungrounded("source", "value_json").alias("ungrounded"))
+
+
+def q_a23_breaker_schedule(spark, sf_dir):
+    """A23 state machine (circuit_breaker.rs:43-72 at batch granularity):
+    closed →(5 fails) open → half-open probes → probe fail doubles
+    recovery → 2 probe successes close. Replays a fixed event tape through
+    the engine breaker; budget -1 encodes 'unlimited'."""
+    from ares_spark.crawl.breaker import CircuitBreaker
+
+    cb = CircuitBreaker()
+    events = {0: (0, 5), 2: (0, 1), 5: (2, 0)}  # gen -> (successes, failures)
+    rows = []
+    for gen in range(7):
+        budget = cb.claim_budget("h", gen)
+        if gen in events:
+            ok, err = events[gen]
+            cb.record("h", ok, err, gen)
+        state = cb.hosts["h"].state if "h" in cb.hosts else "closed"
+        rows.append((gen, -1 if budget is None else budget, state))
+    return spark.createDataFrame(rows, "generation int, budget int, state string")
+
+
+_A25_PAIRS = [("1.0.0", "1.0.1"), ("1.2.0", "1.10.0"), ("2.0.0", "1.9.9"),
+              ("1.0.0", "1.0.0"), ("0.9.9", "1.0.0"), ("1.10.2", "1.10.10")]
+
+
+def q_a25_version_compare(spark, sf_dir):
+    """A25 semver compare (schema.rs:413-438): numeric per-field, so
+    1.10.0 > 1.2.0. Oracle is REAL SQL (split + int compare), not golden."""
+    from ares_spark.schemas.registry import compare_versions
+
+    rows = [(a, b, compare_versions(a, b)) for a, b in _A25_PAIRS]
+    return spark.createDataFrame(rows, "a string, b string, cmp int")
+
+
+def q_a26_registry_resolve(spark, sf_dir):
+    """A26 registry parity: all 11 reference schema names resolve, @latest
+    and pinned agree — oracle pinned to /root/reference/schemas/registry.json."""
+    from ares_spark.schemas import SchemaRegistry
+
+    reg = SchemaRegistry()
+    rows = []
+    for name in sorted(
+        ["blog", "github_repo", "product", "news_article", "job_listing", "recipe",
+         "event", "dataset", "public_tenders", "tender_list", "job_board"]
+    ):
+        n1, v1, _ = reg.resolve(f"{name}@latest")
+        n2, v2, _ = reg.resolve(name)
+        rows.append((name, v1, v1 == v2 and n1 == n2 == name))
+    return spark.createDataFrame(rows, "name string, version string, pin_agrees boolean")
+
+
+def q_a29_output_format(spark, sf_dir):
+    """A29 output formatting (output.rs:6-11): jsonl line rendering and the
+    CSV nested-column JSON encoding, pinned byte-exact."""
+    df = spark.createDataFrame(
+        [(1, "a", ["x", "y"]), (2, "b", [])], "id int, name string, tags array<string>"
+    )
+    return df.select(
+        "id",
+        F.to_json(F.struct("id", "name", "tags")).alias("jsonl"),
+        F.to_json("tags").alias("csv_tags"),
+    )
+
+
 def q_c01_cleaner_fixtures(spark, sf_dir):
     """A6 byte-identical cleaning: reference fixture corpus through the
     vectorized cleaner UDF; sha256 + length pinned against goldens."""
@@ -501,9 +711,11 @@ def q_c02_crawl_trace(spark, sf_dir):
 
 
 def q_c03_extraction_fixtures(spark, sf_dir):
-    """A8/A9 structured-extraction parity: the five schema'd fixtures
-    through the full fused pipeline; canonical JSON + validity pinned
-    against tests/golden/extractions.json."""
+    """A8/A9 structured-extraction parity across ALL 11 registry schemas:
+    the six reference fixtures plus five synthesized fixtures
+    (tests/fixtures/) for the schema shapes the reference ships no page
+    for, through the full fused pipeline; canonical JSON + validity
+    pinned against tests/golden/extractions.json."""
     from pathlib import Path
 
     from ares_spark.operators.pipeline import scrape_fused
@@ -511,13 +723,18 @@ def q_c03_extraction_fixtures(spark, sf_dir):
 
     reg = SchemaRegistry()
     out = None
+    synth_dir = str(Path(__file__).parent / "tests" / "fixtures")
     pairs = [
         ("blog", "blog"), ("github_repo", "github_repo"),
         ("news_article", "news_article"), ("product", "product"),
         ("recipe", "recipe"), ("public_tender", "public_tenders"),
+        ("dataset", "dataset"), ("event", "event"),
+        ("job_listing", "job_listing"), ("job_board", "job_board"),
+        ("tender_list", "tender_list"),
     ]
     for fixture, schema_name in pairs:
-        html = Path(f"{_FIXDIR}/{fixture}.html").read_bytes()
+        src = _FIXDIR if Path(f"{_FIXDIR}/{fixture}.html").exists() else synth_dir
+        html = Path(f"{src}/{fixture}.html").read_bytes()
         df = spark.createDataFrame(
             [(fixture, f"https://fixtures.example.org/{fixture}", html)],
             "name string, url string, html binary",
@@ -607,6 +824,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": q_d04_simhash,
         "d06_minhash_lsh_xx": q_d06_minhash_lsh_xx,
         "t05_fingerprint_xx": q_t05_fingerprint_xx,
+        "a02_ssrf_guard": q_a02_ssrf_guard,
+        "a04_politeness_budget": q_a04_politeness_budget,
+        "a05_robots_matrix": q_a05_robots_matrix,
+        "a07_content_cap": q_a07_content_cap,
+        "a10_groundedness_matrix": q_a10_groundedness_matrix,
+        "a23_breaker_schedule": q_a23_breaker_schedule,
+        "a25_version_compare": q_a25_version_compare,
+        "a26_registry_resolve": q_a26_registry_resolve,
+        "a29_output_format": q_a29_output_format,
         "s01_ann_bruteforce": q_s01_ann_bruteforce,
         "s02_ann_lsh": q_s02_ann_lsh,
         "c01_cleaner_fixtures": q_c01_cleaner_fixtures,
@@ -924,6 +1150,67 @@ def oracle_sql() -> dict[str, str]:
         "c01_cleaner_fixtures": _c01_oracle(),
         "c02_crawl_trace": _C02_ORACLE,
         "c03_extraction_fixtures": _c03_oracle(),
-        # d04_simhash, s02_ann_lsh: non-SQL-expressible (xxhash64 / seeded
-        # hyperplanes) → rows-only driver check; semantics pinned in pytest.
+        "a02_ssrf_guard": _case_oracle(
+            [(i, e) for i, e in enumerate(_A02_EXPECT, 1)], "case_id, allowed"
+        ),
+        "a04_politeness_budget": (
+            "select * from (values ('h1.example.com', 2), ('h2.example.com', 8), "
+            "('h3.example.com', 1), ('h5.example.com', 4)) t(host, robots_budget)"
+        ),
+        "a05_robots_matrix": _case_oracle(
+            [(c[0], e) for c, e in zip(_A05_CASES, _A05_EXPECT)], "case_id, allowed"
+        ),
+        "a07_content_cap": (
+            "select * from (values ('ascii', 50, 50), ('latin', 50, 100), "
+            "('cjk', 50, 150), ('emoji', 50, 200), ('short', 10, 10)) "
+            "t(name, n_chars, n_bytes)"
+        ),
+        "a10_groundedness_matrix": _case_oracle(
+            [(c[0], e) for c, e in zip(_A10_CASES, _A10_EXPECT)], "case_id, ungrounded"
+        ),
+        "a23_breaker_schedule": (
+            "select * from (values (0, -1, 'open'), (1, 0, 'open'), (2, 2, 'open'), "
+            "(3, 0, 'open'), (4, 0, 'open'), (5, 2, 'closed'), (6, -1, 'closed')) "
+            "t(generation, budget, state)"
+        ),
+        # a25 is REAL SQL: numeric per-field compare via int-list comparison
+        "a25_version_compare": (
+            "with p(a, b) as (values "
+            + ", ".join(f"('{a}', '{b}')" for a, b in _A25_PAIRS)
+            + ") select a, b, case when ka < kb then -1 when ka > kb then 1 else 0 end as cmp "
+            "from (select a, b, [x::int for x in string_split(a, '.')] as ka, "
+            "[x::int for x in string_split(b, '.')] as kb from p)"
+        ),
+        "a26_registry_resolve": (
+            "select * from (values "
+            + ", ".join(
+                f"('{n}', '1.0.0', true)"
+                for n in sorted(
+                    ["blog", "github_repo", "product", "news_article", "job_listing",
+                     "recipe", "event", "dataset", "public_tenders", "tender_list",
+                     "job_board"]
+                )
+            )
+            + ") t(name, version, pin_agrees)"
+        ),
+        "a29_output_format": (
+            'select * from (values '
+            '(1, \'{"id":1,"name":"a","tags":["x","y"]}\', \'["x","y"]\'), '
+            '(2, \'{"id":2,"name":"b","tags":[]}\', \'[]\')) t(id, jsonl, csv_tags)'
+        ),
+        # d04_simhash, s02_ann_lsh, d06_minhash_lsh_xx, t05_fingerprint_xx:
+        # non-SQL-expressible (xxhash64 / seeded hyperplanes) → rows-only
+        # driver check; semantics pinned in pytest.
     }
+
+
+def _case_oracle(pairs, cols: str) -> str:
+    def lit(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(x) for x in row) + ")" for row in pairs)
+    return f"select * from (values {vals}) t({cols})"

@@ -660,10 +660,12 @@ def _run_generation(
     # lineage aggregates stay in Spark: the driver collects ≤ n_shards rows
     # for the manifest plus a BOUNDED breaker feed — failing hosts (top-K by
     # errors) and already-tracked hosts only, never every host in the batch
+    # persist: one groupBy over the (cached) batch feeds BOTH the shard
+    # rollup and the breaker feed — without it each consumer re-aggregates
     host_stats = fetched.groupBy("host", "host_shard").agg(
         F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
         F.sum(F.col("html").isNull().cast("int")).alias("err"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     shard_rows = (
         host_stats.groupBy("host_shard")
         .agg(F.sum("ok").alias("ok"), F.sum("err").alias("err"))
@@ -681,6 +683,7 @@ def _run_generation(
         ).dropDuplicates(["host"])
     for r in feed.collect():
         state.breaker.record(r.host, int(r.ok), int(r.err), g)
+    host_stats.unpersist()
     t0 = _tick("hostshard_stats_collect", t0, g)
     shard_stats: dict[int, dict] = {}
     for r in shard_rows:

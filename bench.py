@@ -43,6 +43,9 @@ HEADLINE = [
     "t04_fingerprint",
     "d01_exact_dup_groups",
     "d02_minhash_lsh",
+    "d03_ngram_jaccard",
+    "d06_minhash_lsh_xx",
+    "t05_fingerprint_xx",
     "s01_ann_bruteforce",
     "s02_ann_lsh",
 ]

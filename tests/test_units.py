@@ -297,3 +297,32 @@ def test_array_of_objects_extraction():
     assert val["jobs"][1] == {"title": "Designer", "url": "/jobs/2"}
     # empty page → jobs: [] (still schema-shaped)
     assert extract_structured("nothing here", schema) == {"jobs": []}
+
+
+# ---- synthesized extraction fixtures (the 5 reference-fixture-less schemas) ----
+
+
+import json as _json
+from pathlib import Path as _Path
+
+_SYNTH_FIXTURES = ["dataset", "event", "job_listing", "job_board", "tender_list"]
+
+
+@pytest.mark.parametrize("name", _SYNTH_FIXTURES)
+def test_synth_fixture_extraction_golden(name):
+    """Every registry schema now has a fixture: extraction is valid, fully
+    grounded, and byte-pinned against tests/golden/extractions.json."""
+    from ares_spark.html import process_html
+    from ares_spark.operators.extract import canonical_json, extract_structured
+    from ares_spark.operators.groundedness import ungrounded_fields
+    from ares_spark.operators.validate import validate_extracted_output
+
+    root = _Path(__file__).parent
+    html = (root / "fixtures" / f"{name}.html").read_text()
+    text, _ = process_html(html, f"https://fixtures.example.org/{name}", 500_000)
+    _, _, schema = SchemaRegistry().resolve(name)
+    value = extract_structured(text, schema)
+    assert validate_extracted_output(schema, value) == []
+    assert ungrounded_fields(text, value) == []
+    golden = _json.loads((root / "golden" / "extractions.json").read_text())
+    assert canonical_json(value) == golden[name]
