@@ -539,7 +539,7 @@ def q_a04_politeness_budget(spark, sf_dir):
     """A4 crawl-delay → per-generation budget (throttle.rs semantics at
     batch granularity): budget = max(1, floor(window / delay)); hosts
     without a delay carry no cap. Through the engine's _robots_assets."""
-    from ares_spark.crawl.loop import CrawlConfig, _robots_assets
+    from ares_spark.crawl.loop import CrawlConfig, _robots_assets, politeness_budget_col
 
     raw = {
         "h1.example.com": "User-agent: *\nCrawl-delay: 30\n",
@@ -549,7 +549,10 @@ def q_a04_politeness_budget(spark, sf_dir):
         "h5.example.com": "User-agent: other\nCrawl-delay: 5\n\nUser-agent: *\nCrawl-delay: 15\n",
     }
     _, budgets = _robots_assets(spark, raw, CrawlConfig(politeness_window_s=60.0))
-    return budgets.select("host", "robots_budget").orderBy("host")
+    return budgets.select(
+        "host",
+        politeness_budget_col("crawl_delay", 60.0).alias("robots_budget"),
+    ).orderBy("host")
 
 
 def q_a07_content_cap(spark, sf_dir):

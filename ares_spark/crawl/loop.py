@@ -105,6 +105,12 @@ class CrawlConfig:
     n_shards: int = 64
     compact_interval: int = 8  # frontier delta-log compaction cadence (gens)
     breaker_feed_top_k: int = 10_000  # max failing hosts fed to the breaker/gen
+    # politeness jitter (throttle.rs:45-49,77-85: delay + U[0, jitter] per
+    # wait). Batch analog: a SEEDED uniform roll per (host, generation) on
+    # top of crawl-delay, so runs stay replayable. 0 disables (engine
+    # default — determinism first; the reference defaults to 500ms).
+    politeness_jitter_ms: int = 0
+    politeness_jitter_seed: int = 42
     salt_partitions: int | None = None  # repartition width for the UDF stage
     breaker: dict = field(default_factory=dict)
     model: str = "deterministic-extractor-v1"
@@ -206,20 +212,35 @@ def _robots_assets(spark, robots_raw: dict[str, str] | None, cfg: "CrawlConfig")
     from pyspark import StorageLevel
 
     budgets = (
-        robots_df.withColumn("__delay", delay_of("robots_txt"))
-        .filter(F.col("__delay") > 0)
-        .select(
-            "host",
-            F.greatest(F.lit(1), F.floor(F.lit(window_s) / F.col("__delay")))
-            .cast("int")
-            .alias("robots_budget"),
-        )
+        robots_df.withColumn("crawl_delay", delay_of("robots_txt"))
+        .filter(F.col("crawl_delay") > 0)
+        .select("host", "crawl_delay")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if budgets.count() == 0:
         budgets.unpersist()
         budgets = None
     return robots_df, budgets
+
+
+def politeness_budget_col(
+    delay_col,
+    window_s: float,
+    jitter_ms: int = 0,
+    generation: int = 0,
+    seed: int = 42,
+    host_col="host",
+):
+    """Per-generation fetch budget for a host with a crawl-delay:
+    max(1, floor(window / effective_delay)), where effective_delay adds the
+    reference's per-wait uniform jitter (throttle.rs:67-73) as a seeded
+    deterministic roll per (host, generation) — replay-stable."""
+    delay = delay_col if not isinstance(delay_col, str) else F.col(delay_col)
+    if jitter_ms > 0:
+        h = F.col(host_col) if isinstance(host_col, str) else host_col
+        roll = F.pmod(F.xxhash64(h, F.lit(generation), F.lit(seed)), F.lit(jitter_ms + 1))
+        delay = delay + roll / F.lit(1000.0)
+    return F.greatest(F.lit(1), F.floor(F.lit(window_s) / delay)).cast("int")
 
 
 def _read_seen(spark, store, upto_generation: int):
@@ -374,7 +395,12 @@ def _run_generation(
             budget_cols.append(F.lit(cfg.per_host_budget))
         if state.robots_budgets is not None:
             batch = batch.join(F.broadcast(state.robots_budgets), "host", "left")
-            budget_cols.append(F.col("robots_budget"))
+            budget_cols.append(
+                politeness_budget_col(
+                    "crawl_delay", cfg.politeness_window_s,
+                    cfg.politeness_jitter_ms, g, cfg.politeness_jitter_seed,
+                )
+            )
         if breaker_caps:
             caps_df = spark.createDataFrame(
                 sorted(breaker_caps.items()), "host string, breaker_cap int"
@@ -383,7 +409,7 @@ def _run_generation(
             budget_cols.append(F.col("breaker_cap"))
         budget = F.least(*budget_cols) if len(budget_cols) > 1 else budget_cols[0]
         batch = batch.filter(budget.isNull() | (F.col("__hrn") <= budget)).drop(
-            "__hrn", "robots_budget", "breaker_cap"
+            "__hrn", "crawl_delay", "breaker_cap"
         )
         # a zero cap (open breaker) can suppress the whole batch: tick the
         # generation clock (the breaker's recovery unit) without burning a
