@@ -48,9 +48,36 @@ def test_crawl_with_distributed_rank_same_trace(spark, tmp_path_factory):
         visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
         got = [(r.visit_pos, r.url) for r in visits.orderBy("visit_pos").collect()]
     finally:
-        spark.conf.set("ares.rank.mode", "window")
+        spark.conf.unset("ares.rank.mode")  # back to the auto default
     assert got == [
         (0, CRAWL_SEED_URL),
         (1, "https://blog.example.com/post-backpressure.html"),
         (2, "https://blog.example.com/post-ownership.html"),
     ]
+
+
+def test_engine_rank_plan_partitions_all_windows(spark):
+    """Above the auto-switch threshold, the claim-ordering plan must contain
+    NO unpartitioned Window (the single-task global sort): every
+    windowspecdefinition's first argument is a partition column, never a
+    sort-order token."""
+    import re
+
+    from ares_spark.crawl.frontier import order_fifo, order_host_rr
+    from ares_spark.operators.ranking import WINDOW_RANK_MAX_ROWS
+
+    n = WINDOW_RANK_MAX_ROWS + 1
+    df = spark.range(n).select(
+        F.col("id").alias("created_seq"),
+        F.concat(F.lit("h"), (F.col("id") % 100)).alias("host"),
+        F.lit(None).cast("double").alias("next_retry_at"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+    )
+    for fn in (order_fifo, order_host_rr):
+        plan = fn(df, n_rows=n)._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        assert specs, "expected Window nodes in the ranked plan"
+        for first_arg in specs:
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                f"unpartitioned window in engine plan: {first_arg}"
+            )
