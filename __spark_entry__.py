@@ -419,6 +419,28 @@ def q_b12_partition_pruning(spark, sf_dir):
     return pruned.select("doc_id", "url", "host_shard")
 
 
+def q_d07_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact): all (id_a < id_b) with
+    cosine ≥ τ. This is the oracle BASELINE — exact all-pairs over a
+    broadcast side; the 100 TB path reuses the multi-table LSH bucketing
+    (similarity.table_signatures_col, exercised by s02) for candidate
+    generation with this exact cosine as the confirm stage, so cost
+    tracks bucket occupancy instead of n²."""
+    from ares_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cos4"))
+    )
+
+
 def q_s01_ann_bruteforce(spark, sf_dir):
     from ares_spark.operators.similarity import brute_force_topk
 
@@ -713,6 +735,56 @@ def q_c02_crawl_trace(spark, sf_dir):
     return visits.select("visit_pos", "url", "outcome").orderBy("visit_pos")
 
 
+def q_c04_crawl_trace_retries(spark, sf_dir):
+    """Deep crawl-trace parity (A17/A21/A22 interplay): depth 2 reaches the
+    posts' /tag/* links, which miss the pages table (fetch errors), retry
+    once on the 60s backoff (time-warped clock), then fail permanently —
+    can_retry() on the OLD count means max_retries=1 ⇒ 2 claims per tag.
+    Visit order = FIFO by created_seq (enqueue order: parent claim
+    position, then link rank), identical across the retry round."""
+    import tempfile
+
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.crawl.checkpoint import SnapshotStore
+    from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
+
+    ckpt = tempfile.mkdtemp(prefix="ares_trace_deep_")
+    run_crawl(
+        spark,
+        crawl_site_pages(spark),
+        [CRAWL_SEED_URL],
+        ckpt,
+        CrawlConfig(
+            schema_spec="blog@latest", max_depth=2, max_pages=100,
+            max_retries=1, use_bloom=False, max_generations=10,
+            # retry-scheduling surface: keep the breaker out of the way
+            # (its own schedule is pinned by a23)
+            breaker={"failure_threshold": 1_000},
+        ),
+    )
+    visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+    return visits.select("visit_pos", "url", "outcome", "generation").orderBy("visit_pos")
+
+
+_C04_ORACLE = """
+    select * from (values
+      (0, 'https://blog.example.com/', 'completed', 0),
+      (1, 'https://blog.example.com/post-backpressure.html', 'completed', 1),
+      (2, 'https://blog.example.com/post-ownership.html', 'completed', 1),
+      (3, 'https://blog.example.com/tag/async', 'fetch_error', 2),
+      (4, 'https://blog.example.com/tag/rust', 'fetch_error', 2),
+      (5, 'https://blog.example.com/tag/tokio', 'fetch_error', 2),
+      (6, 'https://blog.example.com/tag/concurrency', 'fetch_error', 2),
+      (7, 'https://blog.example.com/tag/ownership', 'fetch_error', 2),
+      (8, 'https://blog.example.com/tag/async', 'fetch_error', 3),
+      (9, 'https://blog.example.com/tag/rust', 'fetch_error', 3),
+      (10, 'https://blog.example.com/tag/tokio', 'fetch_error', 3),
+      (11, 'https://blog.example.com/tag/concurrency', 'fetch_error', 3),
+      (12, 'https://blog.example.com/tag/ownership', 'fetch_error', 3)
+    ) t(visit_pos, url, outcome, generation)
+"""
+
+
 def q_c03_extraction_fixtures(spark, sf_dir):
     """A8/A9 structured-extraction parity across ALL 11 registry schemas:
     the six reference fixtures plus five synthesized fixtures
@@ -826,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard": q_d03_ngram_jaccard,
         "d04_simhash": q_d04_simhash,
         "d06_minhash_lsh_xx": q_d06_minhash_lsh_xx,
+        "d07_embedding_cosine_pairs": q_d07_embedding_cosine_pairs,
         "t05_fingerprint_xx": q_t05_fingerprint_xx,
         "a02_ssrf_guard": q_a02_ssrf_guard,
         "a04_politeness_budget": q_a04_politeness_budget,
@@ -841,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c01_cleaner_fixtures": q_c01_cleaner_fixtures,
         "c02_crawl_trace": q_c02_crawl_trace,
         "c03_extraction_fixtures": q_c03_extraction_fixtures,
+        "c04_crawl_trace_retries": q_c04_crawl_trace_retries,
     }
 
 
@@ -1153,6 +1227,19 @@ def oracle_sql() -> dict[str, str]:
         "c01_cleaner_fixtures": _c01_oracle(),
         "c02_crawl_trace": _C02_ORACLE,
         "c03_extraction_fixtures": _c03_oracle(),
+        "c04_crawl_trace_retries": _C04_ORACLE,
+        "d07_embedding_cosine_pairs": """
+            with s as (select vec_id, embedding::double[] as e from embeddings),
+            pairs as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) as cosine
+              from s a join s b on a.vec_id < b.vec_id
+            )
+            select id_a, id_b, round(cosine, 4) as cos4
+            from pairs where cosine >= 0.45
+        """,
         "a02_ssrf_guard": _case_oracle(
             [(i, e) for i, e in enumerate(_A02_EXPECT, 1)], "case_id, allowed"
         ),
