@@ -697,6 +697,58 @@ def q_a29_output_format(spark, sf_dir):
     )
 
 
+def q_m01_image_decode_luma(spark, sf_dir):
+    """REAL image decode (library-free 24-bit BMP parser) cross-checked
+    from first principles: the fixtures are deterministic gradient BMPs,
+    so DuckDB recomputes each image's mean luma analytically from the
+    gradient formula — a fully independent oracle over genuinely decoded
+    bytes (multimodal.decode_bmp)."""
+    from ares_spark.operators.multimodal import decode_image_features, synth_media_real
+
+    media = synth_media_real(spark, n=12)
+    return decode_image_features(media).select(
+        "media_id", F.round("mean_luma", 3).alias("luma3")
+    )
+
+
+def q_m02_wav_decode_stats(spark, sf_dir):
+    """REAL audio decode (stdlib WAV parser): fixtures are int16 sine
+    waves, so DuckDB regenerates the exact samples (trunc(A·sin(2πft/r)))
+    and recomputes n_samples / RMS / clip ratio independently."""
+    from ares_spark.operators.multimodal import audio_stats, synth_media_real
+
+    media = synth_media_real(spark, n=12)
+    return audio_stats(media).select(
+        "media_id", "n_samples", F.round("rms", 2).alias("rms2"), "clip_ratio"
+    )
+
+
+_M01_ORACLE = """
+    with imgs(media_id, w, h, c) as (values
+      ('r0000', 20, 14, 42), ('r0003', 20, 23, 45),
+      ('r0006', 20, 14, 48), ('r0009', 20, 23, 51)),
+    cells as (
+      select media_id, (x * 255) // (w - 1) as r, (y * 255) // (h - 1) as g, c
+      from imgs, generate_series(0, 19) s1(x), generate_series(0, 22) s2(y)
+      where y <= h - 1
+    )
+    select media_id, round(avg((r + g + c) / 3.0), 3) as luma3
+    from cells group by media_id
+"""
+
+_M02_ORACLE = """
+    with auds(media_id, f) as (values
+      ('r0001', 330), ('r0004', 220), ('r0007', 550), ('r0010', 440)),
+    samples as (
+      select media_id, trunc(10000 * sin(2 * pi() * f * t / 8000)) as s
+      from auds, generate_series(0, 7999) g(t)
+    )
+    select media_id, count(*) as n_samples,
+           round(sqrt(avg(s * s)), 2) as rms2, 0.0::double as clip_ratio
+    from samples group by media_id
+"""
+
+
 def q_c01_cleaner_fixtures(spark, sf_dir):
     """A6 byte-identical cleaning: reference fixture corpus through the
     vectorized cleaner UDF; sha256 + length pinned against goldens."""
@@ -915,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c02_crawl_trace": q_c02_crawl_trace,
         "c03_extraction_fixtures": q_c03_extraction_fixtures,
         "c04_crawl_trace_retries": q_c04_crawl_trace_retries,
+        "m01_image_decode_luma": q_m01_image_decode_luma,
+        "m02_wav_decode_stats": q_m02_wav_decode_stats,
     }
 
 
@@ -1228,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "c02_crawl_trace": _C02_ORACLE,
         "c03_extraction_fixtures": _c03_oracle(),
         "c04_crawl_trace_retries": _C04_ORACLE,
+        "m01_image_decode_luma": _M01_ORACLE,
+        "m02_wav_decode_stats": _M02_ORACLE,
         "d07_embedding_cosine_pairs": """
             with s as (select vec_id, embedding::double[] as e from embeddings),
             pairs as (

@@ -2,11 +2,16 @@
 metadata, with decode / feature-extract / resize / frame-sample stages as
 Arrow-batched ``mapInPandas`` operators.
 
-The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
-signatures) is real and tested; the codec step is a deterministic fake (or
-``NotImplementedError`` in strict mode) because the sandbox image has no
-image/audio libraries — swap ``_decode_image``/``_decode_audio`` for
-Pillow/torchaudio on a real cluster and nothing else changes.
+Codecs dispatch on MAGIC BYTES:
+- ``BM``   → REAL 24-bit BMP decode (pure struct/numpy, no libraries)
+- ``RIFF…WAVE`` → REAL PCM WAV decode (stdlib ``wave`` module)
+- anything else (png/jpeg/mp4 need Pillow/ffmpeg, absent in the sandbox)
+  → a deterministic fake, or ``NotImplementedError`` in STRICT mode.
+
+So the Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) AND a genuine decode path are tested end-to-end on real
+bytes; swapping the fallback for Pillow/torchaudio on a real cluster
+changes nothing upstream.
 
 Design notes for 100 TB of media:
 - media rows are FAT (KB-GB); the operators repartition by row count
@@ -52,6 +57,73 @@ MEDIA_SCHEMA = T.StructType(
 STRICT = False  # True → unimplemented codecs raise instead of faking
 
 
+# -- real codecs (library-free) -----------------------------------------------
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → 24-bit uncompressed BMP (bottom-up, 4-byte
+    row padding) — the test-data producer for the real decode path."""
+    h, w, _ = px.shape
+    row = (w * 3 + 3) & ~3
+    body = np.zeros((h, row), np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    data = body.tobytes()
+    off = 14 + 40
+    header = _struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 (h, w, 3) RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = _struct.unpack_from("<I", blob, 10)
+    _, w, h, _, bpp, comp = _struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3
+    arr = np.frombuffer(blob, dtype=np.uint8, offset=off, count=row * h).reshape(h, row)
+    px = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    return px[::-1] if bottom_up else px
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples → RIFF/WAVE bytes (stdlib wave module)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (int16 mono samples, sample_rate). Multi-channel input
+    is averaged to mono (the stats are channel-agnostic)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        n, ch, width, rate = wf.getnframes(), wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        if width != 2:
+            raise ValueError(f"unsupported WAV sample width: {width}")
+        pcm = np.frombuffer(wf.readframes(n), dtype="<i2")
+    if ch > 1:
+        pcm = pcm.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return pcm, rate
+
+
+def _is_wav(blob: bytes) -> bool:
+    return blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+
 def _fake_pixels(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
     """Deterministic stand-in decoder: pixels derived from sha256 of the
     payload, tiled to (h, w, c). Same bytes → same 'image', always."""
@@ -61,6 +133,18 @@ def _fake_pixels(payload: bytes, width: int, height: int, channels: int) -> np.n
     base = np.frombuffer((seed * ((width * height * channels) // 32 + 1))[: width * height * channels],
                          dtype=np.uint8)
     return base.reshape(height, width, channels)
+
+
+def _decode_pixels(payload: bytes, meta) -> np.ndarray:
+    """Magic-byte dispatch: real BMP decode when the bytes ARE an image we
+    can parse without libraries; deterministic fake (or STRICT raise) for
+    formats that need Pillow."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    w = int(meta["width"] or 32) if meta is not None else 32
+    h = int(meta["height"] or 32) if meta is not None else 32
+    c = int(meta["n_channels"] or 3) if meta is not None else 3
+    return _fake_pixels(payload, w, h, c)
 
 
 def decode_image_features(
@@ -89,17 +173,17 @@ def decode_image_features(
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w = int(meta["width"] or 32) if meta is not None else 32
-                h = int(meta["height"] or 32) if meta is not None else 32
-                c = int(meta["n_channels"] or 3) if meta is not None else 3
-                px = _fake_pixels(bytes(payload), w, h, c).astype(np.float32)
+                raw = _decode_pixels(bytes(payload), meta)
+                # luma in float64 over the raw uint8 pixels: exact enough to
+                # cross-check against an analytic SQL oracle (m01)
+                luma = float(raw.mean())
+                px = raw.astype(np.float32)
                 # global-average-pool into feature_dim buckets (row-major)
                 flat = px.mean(axis=2).ravel()
                 pad = (-len(flat)) % feature_dim
                 if pad:
                     flat = np.pad(flat, (0, pad))
                 feats = flat.reshape(feature_dim, -1).mean(axis=1)
-                luma = float(px.mean())
                 # perceptual-hash stand-in: sign bits of 64 coarse cells
                 cells = flat.reshape(64, -1).mean(axis=1)
                 bits = (cells > cells.mean()).astype(np.uint64)
@@ -131,16 +215,14 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w = int(meta["width"] or 32) if meta is not None else 32
-                h = int(meta["height"] or 32) if meta is not None else 32
-                c = int(meta["n_channels"] or 3) if meta is not None else 3
-                px = _fake_pixels(bytes(payload), w, h, c)
+                px = _decode_pixels(bytes(payload), meta)
+                h, w, c = px.shape
                 yi = (np.arange(out_h) * h // out_h)[:, None]
                 xi = (np.arange(out_w) * w // out_w)[None, :]
                 thumb = px[yi, xi, :].tobytes()
                 rows.append(
                     (mid, thumb, {"mime": "image/raw", "width": out_w, "height": out_h,
-                                  "n_channels": c, "duration_ms": None, "sample_rate": None})
+                                  "n_channels": int(c), "duration_ms": None, "sample_rate": None})
                 )
             yield pd.DataFrame(rows, columns=["media_id", "thumb", "meta"])
 
@@ -200,11 +282,16 @@ def audio_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if STRICT:
-                    raise NotImplementedError("audio decode requires soundfile; not in sandbox")
                 blob = bytes(payload)
-                blob = blob[: len(blob) - len(blob) % 2]
-                pcm = np.frombuffer(blob, dtype="<i2").astype(np.float64)
+                if _is_wav(blob):
+                    pcm, _rate = decode_wav(blob)
+                    pcm = pcm.astype(np.float64)
+                elif STRICT:
+                    raise NotImplementedError("non-WAV audio requires soundfile; not in sandbox")
+                else:
+                    # fallback: raw little-endian int16 PCM
+                    blob = blob[: len(blob) - len(blob) % 2]
+                    pcm = np.frombuffer(blob, dtype="<i2").astype(np.float64)
                 n = len(pcm)
                 rms = float(np.sqrt((pcm**2).mean())) if n else 0.0
                 clip = float((np.abs(pcm) >= 32767).mean()) if n else 0.0
@@ -212,6 +299,41 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "n_samples", "rms", "clip_ratio"])
 
     return src.mapInPandas(run, schema=out_schema)
+
+
+def synth_media_real(spark, n: int = 12, seed: int = 42) -> DataFrame:
+    """Media table whose image/audio payloads are REAL encoded bytes
+    (24-bit BMPs with a deterministic gradient; int16 sine WAVs) — drives
+    the genuine decode path end-to-end. Video stays a raw frame
+    concatenation (no library-free video container exists)."""
+    import math
+
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 20 + (i % 3) * 7, 14 + (i % 2) * 9  # odd widths → row padding
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)),
+                 np.full((h, w), (seed + i) % 256)], axis=2
+            ).astype(np.uint8)
+            payload = encode_bmp(px)
+            meta = {"mime": "image/bmp", "width": w, "height": h, "n_channels": 3,
+                    "duration_ms": None, "sample_rate": None}
+        elif kind == "audio":
+            rate, secs, freq = 8000, 1, 220 + 110 * (i % 4)
+            t = np.arange(rate * secs)
+            pcm = (10_000 * np.sin(2 * math.pi * freq * t / rate)).astype(np.int16)
+            payload = encode_wav(pcm, rate)
+            meta = {"mime": "audio/wav", "width": None, "height": None, "n_channels": 1,
+                    "duration_ms": secs * 1000, "sample_rate": rate}
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 64
+            meta = {"mime": "video/raw-frames", "width": None, "height": None,
+                    "n_channels": None, "duration_ms": 4000, "sample_rate": None}
+        rows.append((f"r{i:04d}", kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 30, seed: int = 42) -> DataFrame:

@@ -235,3 +235,43 @@ def test_change_detection_on_requeued_seed(spark, tmp_path_factory):
     assert seed_rows[0][2] is True and seed_rows[1][2] is False
     child_rows = [r for r in rows if "child" in r[0]]
     assert [r[2] for r in child_rows] == [True]
+
+
+def test_compaction_invisible_and_resume_safe(spark, site, tmp_path_factory):
+    """Frontier delta-log compaction must never change results: a crawl
+    compacting every generation equals one that never compacts, and a
+    mid-crawl resume that lands between compactions reproduces both."""
+    base_cfg = dict(schema_spec="blog@latest", max_depth=2, max_retries=2,
+                    use_bloom=False, max_generations=20,
+                    breaker={"failure_threshold": 1_000})
+    ck_never = str(tmp_path_factory.mktemp("crawl_nc"))
+    never = run_crawl(spark, site, [SEED], ck_never,
+                      CrawlConfig(**base_cfg, compact_interval=64),
+                      session_id="fixed-session")
+    ck_every = str(tmp_path_factory.mktemp("crawl_ec"))
+    every = run_crawl(spark, site, [SEED], ck_every,
+                      CrawlConfig(**base_cfg, compact_interval=1),
+                      session_id="fixed-session")
+    key = lambda r: (r.url, r.status, r.retry_count, r.created_seq)
+    f_never = FrontierLog(SnapshotStore(ck_never)).read_full(spark, never["generation"])
+    f_every = FrontierLog(SnapshotStore(ck_every)).read_full(spark, every["generation"])
+    assert sorted(map(key, f_never.collect())) == sorted(map(key, f_every.collect()))
+    assert _visits(spark, ck_never) == _visits(spark, ck_every)
+    # mid-crawl kill + resume with compaction every 2 generations: the
+    # resume point (gen 3) sits between compaction boundaries
+    import json
+    from pathlib import Path
+
+    ck_part = str(tmp_path_factory.mktemp("crawl_pc"))
+    run_crawl(spark, site, [SEED], ck_part,
+              CrawlConfig(**{**base_cfg, "max_generations": 3}, compact_interval=2),
+              session_id="fixed-session")
+    cfg_path = Path(ck_part) / "config.json"
+    meta = json.loads(cfg_path.read_text())
+    meta["cfg"]["max_generations"] = 20
+    cfg_path.write_text(json.dumps(meta))
+    resumed = resume_crawl(spark, site, ck_part)
+    assert resumed["generation"] == never["generation"]
+    f_res = FrontierLog(SnapshotStore(ck_part)).read_full(spark, resumed["generation"])
+    assert sorted(map(key, f_res.collect())) == sorted(map(key, f_never.collect()))
+    assert _visits(spark, ck_part) == _visits(spark, ck_never)
