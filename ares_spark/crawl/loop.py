@@ -188,19 +188,27 @@ def _robots_allowed_col(user_agent: str = "ares"):
     return allowed
 
 
-def _robots_assets(spark, robots_raw: dict[str, str] | None, cfg: "CrawlConfig"):
-    """Robots corpus as DataFrames. The sandbox API takes a dict (a live
-    deployment passes a robots TABLE); everything downstream is join-based.
+def _robots_assets(spark, robots_raw, cfg: "CrawlConfig"):
+    """Robots corpus as DataFrames. ``robots_raw`` is either a
+    {host: robots_txt} dict (test/CLI convenience — becomes a DataFrame)
+    or a DataFrame with (host, robots_txt) columns (the web-scale path: a
+    10^7-host robots TABLE never materializes on the driver); everything
+    downstream is join-based either way.
     Returns (robots_df(host, robots_txt) | None,
-             robots_budgets(host, robots_budget) | None) — budgets are the
+             robots_budgets(host, crawl_delay) | None) — budgets are the
     per-generation politeness caps derived from Crawl-delay, parsed
     EXECUTOR-side and materialized once per crawl (persisted), so no
     generation ever parses robots on the driver."""
-    if not robots_raw:
+    from pyspark.sql import DataFrame as _DF
+
+    if robots_raw is None or (isinstance(robots_raw, dict) and not robots_raw):
         return None, None
-    robots_df = spark.createDataFrame(
-        sorted(robots_raw.items()), "host string, robots_txt string"
-    )
+    if isinstance(robots_raw, _DF):
+        robots_df = robots_raw.select("host", "robots_txt")
+    else:
+        robots_df = spark.createDataFrame(
+            sorted(robots_raw.items()), "host string, robots_txt string"
+        )
     ua, window_s = cfg.user_agent, cfg.politeness_window_s
 
     @pandas_udf("double")
@@ -279,12 +287,13 @@ def run_crawl(
     seed_urls: list[str],
     checkpoint_dir: str,
     cfg: CrawlConfig | None = None,
-    robots_raw: dict[str, str] | None = None,
+    robots_raw: dict[str, str] | DataFrame | None = None,
     schema: dict | None = None,
     session_id: str | None = None,
 ) -> dict:
     """Run a crawl session to completion (or max_generations). Returns the
-    summary dict of the final manifest."""
+    summary dict of the final manifest. ``robots_raw`` may be a dict or a
+    (host, robots_txt) DataFrame — pass the table form at web scale."""
     cfg = cfg or CrawlConfig()
     session_id = session_id or str(uuid.uuid4())
     store = SnapshotStore(checkpoint_dir)

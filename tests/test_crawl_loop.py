@@ -275,3 +275,20 @@ def test_compaction_invisible_and_resume_safe(spark, site, tmp_path_factory):
     f_res = FrontierLog(SnapshotStore(ck_part)).read_full(spark, resumed["generation"])
     assert sorted(map(key, f_res.collect())) == sorted(map(key, f_never.collect()))
     assert _visits(spark, ck_part) == _visits(spark, ck_never)
+
+
+def test_robots_as_dataframe_table(spark, site, tmp_path_factory):
+    """The web-scale robots path: a (host, robots_txt) DataFrame instead of
+    a driver dict produces the identical crawl."""
+    robots_df = spark.createDataFrame(
+        [("blog.example.com", "User-agent: *\nDisallow: /post-ownership.html\n")],
+        "host string, robots_txt string",
+    )
+    ckpt = str(tmp_path_factory.mktemp("crawl_rdf"))
+    run_crawl(
+        spark, site, [SEED], ckpt,
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, use_bloom=False),
+        robots_raw=robots_df,
+    )
+    seen = SnapshotStore(ckpt).read_all_batches(spark, "url_seen")
+    assert [r.url for r in seen.collect()] == [POSTS[0]]
