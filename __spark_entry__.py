@@ -370,13 +370,13 @@ def q_d06_minhash_lsh_xx(spark, sf_dir):
     return minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.35, hash_fn="xx")
 
 
-def q_t05_fingerprint_xx(spark, sf_dir):
-    """xxhash64 xor-fold fingerprint — scale-default variant of t04
-    (no per-shingle md5 strings, no sort; rows-only check)."""
-    from ares_spark.functions.text import doc_fingerprint_xx
+def q_t05_fingerprint64(spark, sf_dir):
+    """64-bit xor-fold fingerprint — compact variant of t04 (8 bytes/doc,
+    no sort/concat; blake2b not in DuckDB → rows-only check)."""
+    from ares_spark.functions.text import doc_fingerprint64
 
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", doc_fingerprint_xx("text").alias("fingerprint_xx")
+        "doc_id", doc_fingerprint64("text").alias("fingerprint64")
     )
 
 
@@ -951,7 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": q_d04_simhash,
         "d06_minhash_lsh_xx": q_d06_minhash_lsh_xx,
         "d07_embedding_cosine_pairs": q_d07_embedding_cosine_pairs,
-        "t05_fingerprint_xx": q_t05_fingerprint_xx,
+        "t05_fingerprint64": q_t05_fingerprint64,
         "a02_ssrf_guard": q_a02_ssrf_guard,
         "a04_politeness_budget": q_a04_politeness_budget,
         "a05_robots_matrix": q_a05_robots_matrix,
@@ -1344,7 +1344,7 @@ def oracle_sql() -> dict[str, str]:
             '(1, \'{"id":1,"name":"a","tags":["x","y"]}\', \'["x","y"]\'), '
             '(2, \'{"id":2,"name":"b","tags":[]}\', \'[]\')) t(id, jsonl, csv_tags)'
         ),
-        # d04_simhash, s02_ann_lsh, d06_minhash_lsh_xx, t05_fingerprint_xx:
+        # d04_simhash, s02_ann_lsh, d06_minhash_lsh_xx, t05_fingerprint64:
         # non-SQL-expressible (xxhash64 / seeded hyperplanes) → rows-only
         # driver check; semantics pinned in pytest.
     }

@@ -45,7 +45,7 @@ HEADLINE = [
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
     "d06_minhash_lsh_xx",
-    "t05_fingerprint_xx",
+    "t05_fingerprint64",
     "s01_ann_bruteforce",
     "s02_ann_lsh",
 ]

@@ -122,7 +122,7 @@ def test_minhash_xx_matches_md5_on_fixture(spark, docs):
 
 def test_fingerprint_xx_properties(spark):
     """Order-insensitive, content-sensitive."""
-    from ares_spark.functions.text import doc_fingerprint_xx
+    from ares_spark.functions.text import doc_fingerprint64 as doc_fingerprint_xx
 
     rows = [
         (0, "alpha beta gamma delta epsilon"),
@@ -135,3 +135,26 @@ def test_fingerprint_xx_properties(spark):
           df.select("doc_id", doc_fingerprint_xx("text").alias("f")).collect()}
     assert fp[0] == fp[2]
     assert fp[0] != fp[3]
+
+
+def test_fingerprint_pandas_matches_expression(spark):
+    """The Arrow fingerprint must equal the expression-tree spec byte-for-
+    byte, including whitespace edge cases (tabs, runs, leading/trailing,
+    empty, short docs below the shingle width)."""
+    from ares_spark.functions.text import doc_fingerprint, doc_fingerprint_expr
+
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog",
+        "  leading and trailing  ",
+        "tabs\tbetween\ttokens and\nnewlines\r\nhere",
+        "one", "one two", "", " ", "UPPER Case MiXeD",
+        "a  b   c    d", "punct, here! and? there.",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        doc_fingerprint("text").alias("p"),
+        doc_fingerprint_expr("text").alias("e"),
+    ).collect()
+    for r in got:
+        assert r.p == r.e, (r.doc_id, r.p, r.e)
