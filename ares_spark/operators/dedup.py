@@ -211,12 +211,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens using xxhash64 bit votes.
-
-    For each of 64 bit positions, sum +1/-1 votes across token hashes;
-    bit set if the sum is positive. Pure built-ins: transform + aggregate.
-    """
+def simhash64_expr(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Expression-tree SimHash (xxhash64 bit votes via 64 aggregate folds).
+    Kept as the built-ins reference — the 64 per-element lambda folds make
+    it ~10× slower per row than the Arrow pass below."""
     toks = F.array_distinct(F.transform(tokens(text_col), lambda t: F.lower(t)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -236,6 +234,45 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct lowercased whitespace tokens: for each
+    of 64 bit positions, sum +1/-1 votes across token hashes; bit set if
+    the sum is positive.
+
+    One Arrow pass: blake2b-64 per token (deterministic, library-free),
+    numpy for the 64-lane vote matrix. Hamming-pair SEMANTICS are
+    identical to the expression version (same vote rule, different token
+    hash family); values are rows-only checked by the driver (d04) and
+    pinned in pytest on the fixture corpus."""
+    import hashlib
+
+    @pandas_udf("long")
+    def sim_of(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ares_spark.functions.text import _py_tokens
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts:
+            toks = {w.lower() for w in _py_tokens(t)}
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                 for w in toks),
+                dtype=np.uint64, count=len(toks),
+            )
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), sim_of(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(
