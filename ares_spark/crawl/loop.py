@@ -6,23 +6,32 @@ One iteration = one frontier generation:
               capped by per-host politeness budgets + circuit breaker
     fetch     batch ⋈ pages on url (the sandbox "fetch"; a live crawler
               swaps this join for an HTTP mapInPandas stage)
-    extract   clean → hash → extract → validate → ground (pipeline ops)
-    spider    links → domain filter → robots → seen-dedup → budget cap
-              → next-generation children with deterministic created_seq
-    persist   frontier/url_seen snapshots + extraction/visit appends +
+    extract   clean → hash → extract → validate → ground, fused into ONE
+              Arrow pass by default (cfg.extraction_mode)
+    spider    links → domain filter → robots (host-keyed table join) →
+              seen-dedup → budget cap → next-generation children with
+              deterministic created_seq
+    persist   frontier DELTA (merge-on-read FrontierLog; never an
+              O(frontier) rewrite) + url_seen/extraction/visit appends +
               lineage manifest (per host-shard counters) → resumable
 
 Determinism: with cfg.ordering='fifo' and no politeness caps the visit
 order equals the reference's serial worker trace (FIFO claim by
 (next_retry_at NULLS FIRST, created_seq) + alphabetically sorted link
 emission) — asserted against the reference crawl fixture in
-tests/test_crawl_loop.py. The loop never collects row data to the driver
-beyond per-host/shard counters (bounded by distinct hosts per batch).
+tests/test_crawl_loop.py.
 
-Scale: every per-generation stage is a bounded number of shuffles:
-claim ordering (1 window), fetch join (co-partitioned on url), seen
-anti-join (Bloom-prefiltered, hash-partitioned), child ranking (1 window).
-Hot-domain skew is defeated by salting: batch processing repartitions by
+Driver state is BOUNDED: lineage collects one row per host shard, the
+breaker ingests failing hosts (top-K) plus tracked hosts only, robots and
+politeness budgets are join-based — nothing the driver holds grows with
+batch size.
+
+Scale: every per-generation stage is a bounded number of shuffles: the
+merge-on-read frontier resolve (hash on job_id), claim ordering (the
+distributed global rank above 50k rows — never an unpartitioned window),
+fetch join (co-partitioned on url), seen anti-join (Bloom-prefiltered,
+hash-partitioned), child ranking (same distributed rank). Hot-domain skew
+is defeated by salting: batch processing repartitions by
 (host_shard, salt) before the html-parsing UDF.
 """
 
@@ -115,6 +124,10 @@ class CrawlConfig:
     breaker: dict = field(default_factory=dict)
     model: str = "deterministic-extractor-v1"
     user_agent: str = "ares"  # robots group selection (robots.rs:84-88)
+    # fused = one Arrow pass with a partition-local extraction memo (the
+    # throughput default); staged = global distinct-content extraction +
+    # join (for expensive extractors with high cross-partition duplication)
+    extraction_mode: str = "fused"
 
 
 def seed_frontier(
@@ -469,12 +482,26 @@ def _run_generation(
     missing = fetched.filter(F.col("html").isNull())
 
     # --- extract --------------------------------------------------------------
-    processed = process_pages(found).cache()
-    results = extract_distinct(
-        processed.select("content_hash", "text").dropDuplicates(["content_hash"]), schema
-    )
+    if cfg.extraction_mode == "fused":
+        # one Arrow pass: clean + hash + extract + validate + ground with a
+        # partition-local extraction memo (scrape_fused) — no mid-pipeline
+        # shuffle, one JVM↔Python crossing per page. The staged path below
+        # instead dedups extraction work GLOBALLY by content hash — worth
+        # it only when cross-partition duplication is high and the
+        # extractor is expensive (e.g. a live LLM stage).
+        from ares_spark.operators.pipeline import scrape_fused
+
+        processed = scrape_fused(found, schema).cache()
+        joined = processed
+    else:
+        processed = process_pages(found).cache()
+        results = extract_distinct(
+            processed.select("content_hash", "text").dropDuplicates(["content_hash"]),
+            schema,
+        )
+        joined = processed.join(results, "content_hash", "left")
     extractions = (
-        processed.join(results, "content_hash", "left")
+        joined
         .withColumn("schema_name", F.lit(cfg.schema_spec))
         .withColumn("model", F.lit(cfg.model))
         .withColumn("data_hash", F.sha2(F.col("extracted_data"), 256))
