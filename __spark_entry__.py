@@ -34,7 +34,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: web-corpus analytics pass over the documents table —
     lang-ID, quality scoring, token counting, near-dup fingerprinting,
-    rolled up per language (all JVM-side expressions)."""
+    rolled up per language (flat column expressions JVM-side; the
+    fingerprint is one Arrow pass)."""
     from ares_spark.functions.text import doc_fingerprint, lang_id, quality_score, token_count
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")

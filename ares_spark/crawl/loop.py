@@ -786,6 +786,10 @@ def _run_generation(
         cand_pinned.unpersist()
     fresh_pinned.unpersist()
     children.unpersist()
+    # release the distributed-rank exchanges pinned this generation
+    from ares_spark.operators.ranking import release_rank_pins
+
+    release_rank_pins()
 
     # re-read from the log: truncates the iterative lineage (plan growth is
     # the classic iterative-Spark failure mode) and makes resume == hot path.

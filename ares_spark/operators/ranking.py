@@ -25,6 +25,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# persisted range-partitioned intermediates, released by the caller once
+# the ranked output has been fully consumed (release_rank_pins) — without
+# this a long crawl accumulates one pinned RDD per ranked generation
+_PINNED: list[DataFrame] = []
+
+
+def release_rank_pins() -> None:
+    while _PINNED:
+        _PINNED.pop().unpersist()
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -32,7 +43,9 @@ def global_rank(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = 1-based global rank under ``order_cols`` (must be
-    a total order). Distributed: no single-task sort."""
+    a total order). Distributed: no single-task sort. Internally persists
+    the range exchange (both passes must see one sampled partitioning);
+    call ``release_rank_pins()`` when the output is consumed."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -47,6 +60,7 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PINNED.append(ranged)
     counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
     if not counts:
         return df.withColumn(out_col, F.lit(0).cast("long"))
