@@ -96,3 +96,68 @@ def test_groundedness_total(source, value):
     for k, v in value.items():
         if v and v.strip() and v.lower().strip() in source.lower():
             assert k not in paths
+
+
+# ---- round-2 parity fuzzing ---------------------------------------------------
+
+
+@given(st.text(alphabet="0123456789abcdefxX.", max_size=20))
+@_settings
+def test_obscure_ipv4_matches_inet_aton(host):
+    """normalize_obscure_ipv4 vs the stdlib ground truth: wherever
+    inet_aton accepts a spelling, we must produce the same address; where
+    we produce one, inet_aton must agree (except forms inet_aton rejects
+    but WHATWG accepts, e.g. trailing dot — checked by stripping)."""
+    import socket
+
+    from ares_spark.operators.ssrf import normalize_obscure_ipv4
+
+    ours = normalize_obscure_ipv4(host)
+    try:
+        theirs = socket.inet_ntoa(socket.inet_aton(host.rstrip(".")))
+    except OSError:
+        theirs = None
+    if theirs is not None and ours is not None:
+        assert ours == theirs, (host, ours, theirs)
+    # inet_aton accepts some forms we defensively reject (e.g. it is more
+    # permissive about huge hex); but anything WE claim is an IP must be
+    # one inet_aton agrees on when it parses at all — and whenever
+    # inet_aton parses a PLAIN spelling (digits/dots only), we must too
+    if theirs is not None and ours is None:
+        assert not host.rstrip(".").replace(".", "").isdigit() or host.rstrip(".") == "", (
+            host, theirs,
+        )
+
+
+@given(st.text(max_size=120))
+@_settings
+def test_fetchable_series_parity_fuzz(url):
+    """The vectorized SSRF fast path equals the scalar predicate on
+    arbitrary junk."""
+    import pandas as pd
+
+    from ares_spark.operators.ssrf import fetchable_series, url_fetchable
+
+    got = fetchable_series(pd.Series([url], dtype=object)).tolist()[0]
+    assert got == url_fetchable(url)[0], url
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("ab \t\n\r\x0b\x0c\xa0é中.!")), max_size=60
+    )
+)
+@_settings
+def test_py_shingles_matches_expression_tokenizer(text):
+    """The python tokenizer twin (used by the Arrow fingerprint/shingle
+    passes) agrees with the Spark expression semantics: F.trim strips
+    spaces; Java \\s is ASCII; boundary empties preserved."""
+    import re as _re
+
+    from ares_spark.functions.text import _py_tokens
+
+    # reference semantics re-derived independently: trim spaces only, then
+    # java-split on ASCII whitespace runs (keeping leading empty field)
+    trimmed = text.strip(" ")
+    expected = [] if trimmed == "" else _re.split(r"[ \t\n\x0b\f\r]+", trimmed)
+    assert _py_tokens(text) == expected, text
