@@ -304,13 +304,16 @@ def q_t01_token_count(spark, sf_dir):
 
 
 def q_t02_quality_score(spark, sf_dir):
-    from ares_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+    """All three quality metrics in ONE Arrow pass (bit-identical to the
+    expression versions — parity pinned in pytest; same DuckDB oracle)."""
+    from ares_spark.functions.text import quality_metrics
 
+    m = quality_metrics("text")
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
+        m.punct_ratio.alias("punct_ratio"),
+        m.stopword_ratio.alias("stopword_ratio"),
+        m.quality.alias("quality"),
     )
 
 

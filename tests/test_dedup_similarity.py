@@ -158,3 +158,48 @@ def test_fingerprint_pandas_matches_expression(spark):
     ).collect()
     for r in got:
         assert r.p == r.e, (r.doc_id, r.p, r.e)
+
+
+def test_quality_pandas_matches_expression(spark):
+    """Arrow quality score == expression spec bit-for-bit, including empty,
+    punct-only, stopword-free and boundary-length strings."""
+    from ares_spark.functions.text import quality_score, quality_score_expr
+
+    rows = [(i, t) for i, t in enumerate([
+        "", " ", "!!!", "a" * 499, "a" * 500, "a" * 501,
+        "the and of to a " * 40, "no stop words here whatsoever",
+        "mixed! punct? and, the. stop; words: ratio" * 7,
+        "\tthe   quick\nbrown\t\tfox", "é中 the 和 of",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        quality_score("text").alias("p"),
+        quality_score_expr("text").alias("e"),
+    ).collect()
+    for r in got:
+        assert r.p == r.e, (r.doc_id, r.p, r.e)
+
+
+def test_quality_metrics_struct_matches_expressions(spark):
+    from ares_spark.functions.text import (
+        punct_ratio,
+        quality_metrics,
+        quality_score_expr,
+        stopword_ratio,
+    )
+
+    rows = [(i, t) for i, t in enumerate([
+        "", "!!!", "the and of to a " * 10, "plain words only",
+        "tabs\tand\nnewlines the of", "é中 the 和 of", "a" * 700,
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = quality_metrics("text")
+    got = df.select(
+        "doc_id",
+        m.punct_ratio.alias("p1"), F.round(punct_ratio("text"), 6).alias("p2"),
+        m.stopword_ratio.alias("s1"), F.round(stopword_ratio("text"), 6).alias("s2"),
+        m.quality.alias("q1"), quality_score_expr("text").alias("q2"),
+    ).collect()
+    for r in got:
+        assert (r.p1, r.s1, r.q1) == (r.p2, r.s2, r.q2), r
