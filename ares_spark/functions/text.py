@@ -177,20 +177,52 @@ def lang_scores(col) -> list[tuple[str, Column]]:
     return out
 
 
-def lang_id(col) -> Column:
-    """Pick the language whose marker set scores highest (ties → lexicographic
-    language code order, 'und' if all zero).
-
-    Implemented as greatest() + a when-chain in lexicographic language
-    order — flat expressions that stay inside whole-stage codegen (the
-    previous array<struct> fold blew up generated-code compilation:
-    ~56s for 500 rows; this form runs in well under a second)."""
+def lang_id_expr(col) -> Column:
+    """Expression-tree language ID — the spec the Arrow version must match
+    (greatest() + when-chain; the earlier array<struct> fold blew up
+    generated-code compilation: ~56s for 500 rows)."""
     scores = {lang: s.cast("double") for lang, s in lang_scores(col)}
     best = F.greatest(*scores.values())
     out = F.when(best <= 0, F.lit("und"))
     for lang in sorted(scores):  # lexicographic order == deterministic ties
         out = out.when(scores[lang] == best, F.lit(lang))
     return out.otherwise(F.lit("und"))
+
+
+def lang_id(col) -> Column:
+    """Pick the language whose marker set scores highest (ties →
+    lexicographic language code order, 'und' if all zero).
+
+    One Arrow pass, value-identical to ``lang_id_expr`` (parity pinned in
+    test_lang_id_pandas_matches_expression): marker-token counts are exact
+    integers on both sides, and the zh substring score mirrors the
+    (len - len(replace))/len(marker) formula via non-overlapping
+    str.count. The token filter lambdas made the expression version the
+    slower path once the other t-series ops moved to Arrow."""
+
+    @pandas_udf("string")
+    def lid(texts: pd.Series) -> pd.Series:
+        marker_sets = {
+            lang: frozenset(ms) for lang, ms in LANG_MARKERS.items() if lang != "zh"
+        }
+        zh_markers = LANG_MARKERS["zh"]
+        out = []
+        for t in texts:
+            t = t or ""
+            toks = [w.lower() for w in _py_tokens(t)]
+            scores = {
+                lang: float(sum(1 for w in toks if w in ms))
+                for lang, ms in marker_sets.items()
+            }
+            scores["zh"] = float(sum(t.count(m) for m in zh_markers))
+            best = max(scores.values())
+            if best <= 0:
+                out.append("und")
+            else:
+                out.append(next(lang for lang in sorted(scores) if scores[lang] == best))
+        return pd.Series(out)
+
+    return lid(F.col(col) if isinstance(col, str) else col)
 
 
 def shingles(col, n: int = 3) -> Column:

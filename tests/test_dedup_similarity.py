@@ -203,3 +203,20 @@ def test_quality_metrics_struct_matches_expressions(spark):
     ).collect()
     for r in got:
         assert (r.p1, r.s1, r.q1) == (r.p2, r.s2, r.q2), r
+
+
+def test_lang_id_pandas_matches_expression(spark):
+    from ares_spark.functions.text import lang_id, lang_id_expr
+
+    rows = [(i, t) for i, t in enumerate([
+        "the cat and the dog of a to", "der hund und die katze ist das",
+        "le chat et la souris les une", "el perro y los gatos que una",
+        "这是的一个测试 和 在", "no markers here xyzzy", "", "the der le el 的",
+        "THE AND OF", "the the the und und und",  # tie cases
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id", lang_id("text").alias("p"), lang_id_expr("text").alias("e")
+    ).collect()
+    for r in got:
+        assert r.p == r.e, (r.doc_id, r.p, r.e)
