@@ -545,9 +545,11 @@ _A02_URLS = [
     "http://8.8.8.8/", "http://[::1]/", "http://[2001:4860:4860::8888]/",
     "ftp://example.com/", "http://2130706433/", "http://0x7f000001/",
     "http://127.1/", "http://134744072/", "http://100.64.0.1/", "http://192.0.2.5/",
+    "http://0../", "http://1.2..3/", "http://cafe.de/",
 ]
 _A02_EXPECT = [False, False, False, True, False, False, False, False, True, False,
-               True, False, False, False, False, True, False, False]
+               True, False, False, False, False, True, False, False,
+               False, False, True]
 
 
 def q_a02_ssrf_guard(spark, sf_dir):

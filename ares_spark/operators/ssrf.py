@@ -59,6 +59,14 @@ def is_private_ip(ip_str: str) -> bool:
 
 _HEX_RE = re.compile(r"0[xX][0-9a-fA-F]*$")
 _OCT_RE = re.compile(r"0[0-7]*$")
+# a label inet_aton/WHATWG could read as a NUMBER (decimal/hex/octal) — a
+# host made only of such labels (or empties, as in '0..') can never be a
+# registered domain (no all-numeric TLD exists), so if it is numeric-shaped
+# but fails to normalize to an IPv4 address we must fail CLOSED: lenient
+# resolvers map spellings we reject ('0.' + getaddrinfo quirks) to real
+# addresses like 0.0.0.0. Purely-alphabetic hex-ish labels ('cafe.de')
+# stay named hosts — inet_aton only reads hex with an 0x prefix.
+_NUMERICISH_HOST_RE = re.compile(r"(?:(?:\d+|0[xX][0-9a-fA-F]*)?\.)*(?:\d+|0[xX][0-9a-fA-F]*)?$")
 
 
 def normalize_obscure_ipv4(host: str) -> str | None:
@@ -120,6 +128,12 @@ def url_fetchable(url: str, resolver=None) -> tuple[bool, str | None]:
         if norm is not None:
             host = norm
             is_literal = True
+        elif _NUMERICISH_HOST_RE.fullmatch(host):
+            # numeric-shaped ('0..', '1.2..3', '999.1') but NOT normalizable:
+            # fail CLOSED — no legitimate domain is all-numeric labels, and
+            # lenient resolvers may still map such spellings to an address
+            # (fetcher.rs:197-254 reject-by-default posture)
+            return False, f"SSRF blocked: unparseable numeric host {host}"
         else:
             is_literal = False
     if is_literal:

@@ -113,8 +113,13 @@ def test_obscure_ipv4_matches_inet_aton(host):
     from ares_spark.operators.ssrf import normalize_obscure_ipv4
 
     ours = normalize_obscure_ipv4(host)
+    # the normalizer implements WHATWG semantics: strip AT MOST ONE trailing
+    # dot (not rstrip) — compare inet_aton on the same view, else spellings
+    # like '0..' (we reject; inet_aton rejects too, but rstrip('.') turned it
+    # into the acceptable '0') produce spurious disagreements
+    whatwg = host[:-1] if host.endswith(".") else host
     try:
-        theirs = socket.inet_ntoa(socket.inet_aton(host.rstrip(".")))
+        theirs = socket.inet_ntoa(socket.inet_aton(whatwg))
     except OSError:
         theirs = None
     if theirs is not None and ours is not None:
@@ -124,7 +129,7 @@ def test_obscure_ipv4_matches_inet_aton(host):
     # one inet_aton agrees on when it parses at all — and whenever
     # inet_aton parses a PLAIN spelling (digits/dots only), we must too
     if theirs is not None and ours is None:
-        assert not host.rstrip(".").replace(".", "").isdigit() or host.rstrip(".") == "", (
+        assert not whatwg.replace(".", "").isdigit() or whatwg == "", (
             host, theirs,
         )
 

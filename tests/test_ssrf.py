@@ -108,6 +108,27 @@ def test_obscure_normalizer_leaves_hostnames_alone():
     assert normalize_obscure_ipv4("127.1") == "127.0.0.1"
 
 
+@pytest.mark.parametrize(
+    "host", ["0..", "1.2..3", "0.", "1.2.3.4.5", "999.1", ".",
+             "123456789012345", "0x7f000001.0x"],
+)
+def test_unparseable_numeric_host_fails_closed(host):
+    """A host made only of numeric-shaped/empty labels that does NOT
+    normalize to an IPv4 address is blocked, never treated as a named host:
+    lenient resolvers map spellings like '0.' to 0.0.0.0 (fetcher.rs:197-254
+    reject-by-default). Hypothesis counterexample '0..' pinned."""
+    ok, reason = url_fetchable(f"http://{host}/")
+    assert not ok and "SSRF blocked" in reason, (host, ok, reason)
+
+
+@pytest.mark.parametrize("host", ["cafe.de", "deadbeef.ca", "0x.example", "a.b"])
+def test_hexish_named_hosts_stay_open(host):
+    """Alphabetic labels that happen to sit in the hex alphabet are real
+    domain shapes — inet_aton only reads hex with an 0x prefix, so these
+    are named hosts, not failed IP spellings."""
+    assert url_fetchable(f"http://{host}/")[0], host
+
+
 def test_fetchable_series_parity():
     """The vectorized fast path must agree with url_fetchable row-by-row."""
     import pandas as pd
