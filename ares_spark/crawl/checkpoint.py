@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,16 +69,88 @@ class SnapshotStore:
             str(self.root / table / f"batch-g{generation:04d}")
         )
 
+    def read_batch(self, spark: SparkSession, table: str, generation: int) -> DataFrame:
+        """One generation's append, read back from parquet (cheaper than
+        re-deriving it through the extraction lineage)."""
+        return spark.read.parquet(str(self.root / table / f"batch-g{generation:04d}"))
+
+    # append-only logs are per-generation ``batch-g{N}`` dirs plus compacted
+    # ``run-g{LO}-g{HI}`` dirs (see compact_log). A run covers every batch in
+    # [LO, HI]; reads list both and skip any dir whose range another dir
+    # covers, so a crash between "write merged run" and "delete sources"
+    # never double-reads rows.
+
+    def _log_dirs(self, table: str) -> list[tuple[int, int, Path]]:
+        """(lo, hi, path) per live log dir, sorted by lo, covered dirs
+        dropped."""
+        base = self.root / table
+        spans = []
+        for p in base.glob("batch-g*"):
+            if p.is_dir():
+                n = int(p.name.rsplit("batch-g", 1)[1])
+                spans.append((n, n, p))
+        for p in base.glob("run-g*"):
+            if p.is_dir():
+                lo, hi = p.name[len("run-g"):].split("-g")
+                spans.append((int(lo), int(hi), p))
+        spans.sort(key=lambda s: (s[0], -(s[1])))
+        out: list[tuple[int, int, Path]] = []
+        for lo, hi, p in spans:
+            if out and lo >= out[-1][0] and hi <= out[-1][1]:
+                continue  # covered by a merged run (crash leftovers)
+            out.append((lo, hi, p))
+        return out
+
     def read_all_batches(
         self, spark: SparkSession, table: str, upto_generation: int | None = None
     ) -> DataFrame | None:
-        base = self.root / table
-        dirs = sorted(str(p) for p in base.glob("batch-g*") if p.is_dir())
-        if upto_generation is not None:
-            dirs = [d for d in dirs if int(d.rsplit("batch-g", 1)[1]) <= upto_generation]
+        dirs = [
+            str(p)
+            for lo, hi, p in self._log_dirs(table)
+            if upto_generation is None or hi <= upto_generation
+        ]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
+
+    def compact_log(
+        self,
+        spark: SparkSession,
+        table: str,
+        upto_generation: int,
+        max_runs: int = 12,
+    ) -> bool:
+        """Bound the log's dir count (Iceberg's rewrite_data_files
+        bin-packing, emulated on parquet): while more than ``max_runs``
+        dirs cover generations ≤ ``upto_generation``, fold the two smallest
+        ADJACENT ones into a ``run-g{LO}-g{HI}`` dir. Merging smallest
+        pairs keeps the rewrite amortized O(log n) per row instead of the
+        O(n)-every-K-generations a single-base design would pay on an
+        insert-only log that never shrinks.
+
+        ``upto_generation`` must not exceed the last PUBLISHED manifest:
+        a crashed generation is re-run with overwrite-by-dir idempotency,
+        which only holds while its batch dir is still un-merged."""
+        compacted = False
+        while True:
+            dirs = [d for d in self._log_dirs(table) if d[1] <= upto_generation]
+            if len(dirs) <= max_runs:
+                return compacted
+            sizes = [
+                sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+                for _, _, p in dirs
+            ]
+            i = min(
+                range(len(dirs) - 1), key=lambda j: sizes[j] + sizes[j + 1]
+            )
+            (lo1, _, p1), (_, hi2, p2) = dirs[i], dirs[i + 1]
+            merged = self.root / table / f"run-g{lo1:04d}-g{hi2:04d}"
+            spark.read.parquet(str(p1), str(p2)).write.mode("overwrite").parquet(
+                str(merged)
+            )
+            shutil.rmtree(p1)
+            shutil.rmtree(p2)
+            compacted = True
 
 
 class FrontierLog:
@@ -178,4 +251,112 @@ class FrontierLog:
         if (generation + 1) % self.compact_interval != 0:
             return False
         self.write_base(self.read_live(spark, generation), generation + 1)
+        return True
+
+
+class LatestStateLog:
+    """Incrementally-maintained latest-row-per-key state table — the
+    FrontierLog base+delta merge-on-read pattern applied to any keyed
+    state. Used for ``extractions_latest`` (A12 change detection,
+    repository.rs:48-70 get_latest contract): the per-generation cost is
+    O(delta) to write and O(batch ∩ state) to resolve, instead of the
+    read-ALL-history-and-window-it the round-2 loop paid per generation.
+
+    - ``batch-g{N}``: generation N's upserts (pre-reduced to one row per
+      key by the caller, or resolved here via the tiebreak).
+    - ``base-g{N}``: resolved state as of before generation N, rewritten
+      every ``compact_interval`` generations.
+    - read_latest(g, keys) = latest-wins per key over base ∪ deltas;
+      passing ``keys`` (a DataFrame of key columns) SEMI-JOINS the raw
+      union down to the requested keys *before* the resolve window, so the
+      shuffle+window is O(|keys| ∩ state), never O(state) — at 10^10 urls
+      the window over full state would be the generation bottleneck. In an
+      Iceberg deployment the base is bucket-partitioned by hash(key) and
+      the semi-join prunes partitions, making the SCAN O(|keys|) too.
+    """
+
+    def __init__(
+        self,
+        store: SnapshotStore,
+        table: str,
+        key_cols: list[str],
+        tiebreak_cols: list[str] | None = None,
+        compact_interval: int = 8,
+    ):
+        self.store = store
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.tiebreak_cols = list(tiebreak_cols or [])
+        self.compact_interval = compact_interval
+        self.dir = store.root / table
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _base_gens(self) -> list[int]:
+        return sorted(
+            int(p.name.split("base-g")[1]) for p in self.dir.glob("base-g*") if p.is_dir()
+        )
+
+    def _delta_dirs(self, lo: int, hi: int) -> list[str]:
+        out = []
+        for p in sorted(self.dir.glob("batch-g*")):
+            if p.is_dir():
+                n = int(p.name.split("batch-g")[1])
+                if lo <= n <= hi:
+                    out.append(str(p))
+        return out
+
+    def write_base(self, df: DataFrame, before_generation: int) -> None:
+        df.withColumn("state_gen", F.lit(before_generation - 1)).write.mode(
+            "overwrite"
+        ).parquet(str(self.dir / f"base-g{before_generation:04d}"))
+
+    def append_delta(self, df: DataFrame, generation: int) -> None:
+        df.withColumn("state_gen", F.lit(generation)).write.mode("overwrite").parquet(
+            str(self.dir / f"batch-g{generation:04d}")
+        )
+
+    def read_latest(
+        self, spark: SparkSession, upto_generation: int, keys: DataFrame | None = None
+    ) -> DataFrame | None:
+        """Latest row per key as of ``upto_generation`` (None if the log is
+        empty). ``keys``: optional DataFrame whose key columns restrict the
+        resolve to the rows that can match — the hot-path form."""
+        bases = [b for b in self._base_gens() if b <= upto_generation + 1]
+        paths = (
+            [str(self.dir / f"base-g{bases[-1]:04d}")] if bases else []
+        ) + self._delta_dirs(bases[-1] if bases else 0, upto_generation)
+        if not paths:
+            return None
+        df = spark.read.parquet(*paths)
+        if keys is not None:
+            df = df.join(keys.select(*self.key_cols).distinct(), self.key_cols, "left_semi")
+        order = [F.col("state_gen").desc()] + [
+            F.col(c).desc() for c in self.tiebreak_cols
+        ]
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "state_gen")
+        )
+
+    def maybe_compact(self, spark: SparkSession, generation: int) -> bool:
+        if (generation + 1) % self.compact_interval != 0:
+            return False
+        resolved = self.read_latest(spark, generation)
+        if resolved is None:
+            return False
+        self.write_base(resolved, generation + 1)
+        # covered deltas are dead weight for later reads — drop them, BUT
+        # keep the previous base and its deltas: compaction runs before
+        # this generation's manifest publishes, so a crash right here
+        # resumes at generation-1 and must still resolve upto generation-1
+        # (which the brand-new base, covering upto ``generation``, cannot
+        # serve). One base of history is exactly enough.
+        bases = self._base_gens()
+        keep_from = bases[-2] if len(bases) >= 2 else 0
+        for d in self._delta_dirs(0, keep_from - 1):
+            shutil.rmtree(d)
+        for b in bases[:-2]:
+            shutil.rmtree(self.dir / f"base-g{b:04d}")
         return True

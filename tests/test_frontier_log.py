@@ -80,3 +80,109 @@ def test_bucketed_pages_fetch_join_avoids_payload_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("drop table if exists pages_bucketed_t")
+
+
+# ---- LatestStateLog (extractions_latest, A12 incremental state) ----------------
+
+
+def _ext_df(spark, rows):
+    return spark.createDataFrame(rows, "url string, data_hash string, claim_pos long")
+
+
+def test_latest_state_log_latest_wins_and_keys_semijoin(spark, tmp_path):
+    from ares_spark.crawl.checkpoint import LatestStateLog, SnapshotStore
+
+    log = LatestStateLog(
+        SnapshotStore(tmp_path), "extractions_latest", ["url"],
+        tiebreak_cols=["claim_pos"], compact_interval=2,
+    )
+    assert log.read_latest(spark, 5) is None  # empty log
+    log.append_delta(_ext_df(spark, [("u1", "h1", 1), ("u2", "h2", 2)]), 0)
+    log.append_delta(_ext_df(spark, [("u1", "h1b", 3)]), 1)
+    got = {r.url: r.data_hash for r in log.read_latest(spark, 1).collect()}
+    assert got == {"u1": "h1b", "u2": "h2"}
+    # as-of semantics: upto generation 0 still sees the old hash
+    asof = {r.url: r.data_hash for r in log.read_latest(spark, 0).collect()}
+    assert asof == {"u1": "h1", "u2": "h2"}
+    # keys semi-join restricts the resolve to requested urls
+    keys = spark.createDataFrame([("u1",), ("u9",)], "url string")
+    sub = {r.url: r.data_hash for r in log.read_latest(spark, 1, keys=keys).collect()}
+    assert sub == {"u1": "h1b"}
+
+
+def test_latest_state_log_within_gen_tiebreak(spark, tmp_path):
+    from ares_spark.crawl.checkpoint import LatestStateLog, SnapshotStore
+
+    log = LatestStateLog(
+        SnapshotStore(tmp_path), "extractions_latest", ["url"],
+        tiebreak_cols=["claim_pos"],
+    )
+    # two rows for one url in one generation: highest claim_pos wins
+    log.append_delta(_ext_df(spark, [("u1", "early", 1), ("u1", "late", 7)]), 0)
+    got = {r.url: r.data_hash for r in log.read_latest(spark, 0).collect()}
+    assert got == {"u1": "late"}
+
+
+def test_latest_state_log_compaction_keeps_one_base_of_history(spark, tmp_path):
+    from ares_spark.crawl.checkpoint import LatestStateLog, SnapshotStore
+
+    log = LatestStateLog(
+        SnapshotStore(tmp_path), "extractions_latest", ["url"],
+        tiebreak_cols=["claim_pos"], compact_interval=2,
+    )
+    for g in range(6):
+        log.append_delta(_ext_df(spark, [("u1", f"h{g}", g), (f"v{g}", "x", g)]), g)
+        log.maybe_compact(spark, g)  # fires at g=1,3,5
+    got = {r.url: r.data_hash for r in log.read_latest(spark, 5).collect()}
+    assert got["u1"] == "h5" and {f"v{g}" for g in range(6)} <= set(got)
+    # crash-window read: resolve upto generation 4 must still work even
+    # though compaction at g=5 just published base-g0006 (resume-at-g-1)
+    asof4 = {r.url: r.data_hash for r in log.read_latest(spark, 4).collect()}
+    assert asof4["u1"] == "h4"
+    # old deltas beyond one base of history are gone
+    import re
+    deltas = sorted(p.name for p in (tmp_path / "extractions_latest").glob("batch-g*"))
+    bases = sorted(p.name for p in (tmp_path / "extractions_latest").glob("base-g*"))
+    assert len(bases) == 2 and len(deltas) <= 4, (bases, deltas)
+
+
+# ---- append-log run compaction (url_seen/visits/extractions) -------------------
+
+
+def test_compact_log_bounds_dirs_and_preserves_rows(spark, tmp_path):
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    store = SnapshotStore(tmp_path)
+    for g in range(10):
+        store.append_batch(
+            spark.createDataFrame([(g, f"row{g}")], "generation int, v string"),
+            "url_seen", g,
+        )
+    # nothing to do under the cap
+    assert store.compact_log(spark, "url_seen", 9, max_runs=12) is False
+    assert store.compact_log(spark, "url_seen", 9, max_runs=4) is True
+    dirs = store._log_dirs("url_seen")
+    assert len(dirs) <= 4
+    got = sorted(r.v for r in store.read_all_batches(spark, "url_seen").collect())
+    assert got == [f"row{g}" for g in range(10)]
+    # upto filtering: dir-level hi <= upto (merged runs cover only <= upto
+    # generations because compaction is capped at the published manifest)
+    upto = store.read_all_batches(spark, "url_seen", 9)
+    assert upto.count() == 10
+
+
+def test_compact_log_never_merges_past_published_manifest(spark, tmp_path):
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    store = SnapshotStore(tmp_path)
+    for g in range(6):
+        store.append_batch(
+            spark.createDataFrame([(g,)], "generation int"), "visits", g
+        )
+    store.compact_log(spark, "visits", 4, max_runs=1)  # gen 5 unpublished
+    names = {p.name for _, _, p in store._log_dirs("visits")}
+    assert "batch-g0005" in names  # still un-merged -> overwrite-idempotent
+    assert store.read_all_batches(spark, "visits").count() == 6
+    # a re-run of generation 5 overwrites its dir without duplicating rows
+    store.append_batch(spark.createDataFrame([(5,)], "generation int"), "visits", 5)
+    assert store.read_all_batches(spark, "visits").count() == 6
