@@ -61,8 +61,7 @@ from ares_spark.crawl.frontier import (
 )
 from ares_spark.crawl.robots import RobotsMatcher
 from ares_spark.crawl.seen import (
-    ShardedBloomSet,
-    bloom_maybe_seen_col,
+    BloomSidecarSet,
     host_shard_col,
     url_hash_col,
 )
@@ -363,7 +362,7 @@ def resume_crawl(
         g + 1,
         visited=man.get("seen_total", 0),
     )
-    state.bloom_set = ShardedBloomSet.load(store.root / "blooms")
+    state.bloom_set = BloomSidecarSet.load(store.root / "blooms")
     return _drive(spark, pages, state, cfg, robots_raw or {}, meta["schema"], meta["session_id"])
 
 
@@ -648,14 +647,25 @@ def _run_generation(
         if state.bloom_set is None:
             # first activation (or resume without sidecars): build from the
             # full seen log once; afterwards updates are O(new links)
-            state.bloom_set = ShardedBloomSet(cfg.bloom_capacity_per_shard)
+            state.bloom_set = BloomSidecarSet(
+                state.store.root / "blooms", cfg.bloom_capacity_per_shard
+            )
             state.bloom_set.update(state.seen)
-        maybe = bloom_maybe_seen_col(spark, state.bloom_set.as_bytes_dict())
+        # partition-local probing: repartition by (shard, salt) so each
+        # task loads O(1) sidecars while a hot shard still spreads over
+        # ~4 tasks; the closure ships only the sidecar directory path —
+        # no driver-held bitmaps, no whole-set broadcast
+        salt_slots = max(1, (4 * salt_n) // max(1, cfg.n_shards))
+        maybe = state.bloom_set.probe_col()
         # persist: the maybe/not-maybe split consumes candidates TWICE —
         # without it the whole spider lineage (explode + filters + dedup
         # window) re-executes per branch
-        cand_pinned = candidates.withColumn("__maybe_seen", maybe).persist(
-            StorageLevel.MEMORY_AND_DISK
+        cand_pinned = (
+            candidates.repartition(
+                salt_n, F.col("host_shard"), F.pmod(F.col("url_hash"), F.lit(salt_slots))
+            )
+            .withColumn("__maybe_seen", maybe)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         new_fast = cand_pinned.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
         suspects = cand_pinned.filter(F.col("__maybe_seen")).drop("__maybe_seen")
@@ -754,8 +764,9 @@ def _run_generation(
     )
 
     if state.bloom_set is not None:
+        # distributed read-modify-write of the per-shard sidecars — the
+        # update itself persists them (resume picks the files back up)
         state.bloom_set.update(new_seen)
-        state.bloom_set.save(state.store.root / "blooms")
 
     # --- lineage + snapshots ----------------------------------------------------
     # lineage aggregates stay in Spark: the driver collects ≤ n_shards rows

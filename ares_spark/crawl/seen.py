@@ -329,6 +329,151 @@ def build_shard_blooms_sized(
     return {s: (b.to_bytes(), n) for s, (b, n) in merged.items()}
 
 
+class BloomSidecarSet:
+    """Partition-local sharded Bloom seen-set (SURVEY §4 item 1: puffin-
+    style sidecars): one bitmap FILE per host shard, probed and updated
+    inside the tasks that own the shard's rows. The driver never holds a
+    bitmap and no whole-bitmap-set broadcast ever ships — at 10^10 keys
+    the bitmaps total tens of GB, which a driver-held dict (the round-2
+    design) could neither hold nor broadcast. Driver state is just
+    {shard: count} — flat in shard count.
+
+    File layout matches ShardedBloomSet.save (``shard-XXXX.bloom`` +
+    ``meta.json``), so resume from an older checkpoint keeps working. In
+    the sandbox the sidecar directory is a local path shared by the
+    in-process executors; on a real cluster it is shared storage (DFS /
+    object store — exactly how Iceberg puffin files are read), and each
+    task reads only the shards present in its partition.
+
+    - ``update(new_seen)``: distributed read-modify-write. Rows
+      repartition by shard (each shard → exactly one task), the task
+      loads that shard's sidecar, ORs the new keys in, republishes
+      atomically (tmp + rename). Task retries are idempotent: every
+      attempt reads the same rows and rename-over is last-write-wins of
+      identical content. O(new keys) work + one bitmap IO per shard.
+    - ``probe_col()``: vectorized maybe-seen column; each task lazily
+      loads only the sidecars for shards in ITS rows (memoized per task).
+      Repartition the probe input by (shard, salt) first so a task
+      touches O(1) shards and a hot shard still spreads across tasks.
+    """
+
+    def __init__(self, directory, capacity_per_shard: int = 1_000_000,
+                 fpp: float = 0.01, counts: dict[int, int] | None = None):
+        from pathlib import Path
+
+        self.dir = Path(directory)
+        self.capacity = capacity_per_shard
+        self.fpp = fpp
+        self.counts: dict[int, int] = dict(counts or {})
+
+    @classmethod
+    def load(cls, directory) -> "BloomSidecarSet | None":
+        import json as _json
+        from pathlib import Path
+
+        meta = Path(directory) / "meta.json"
+        if not meta.exists():
+            return None
+        m = _json.loads(meta.read_text())
+        return cls(directory, m["capacity"], m["fpp"],
+                   {int(k): v for k, v in m["counts"].items()})
+
+    def _write_meta(self) -> None:
+        import json as _json
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.dir / "meta.json.tmp"
+        tmp.write_text(_json.dumps(
+            {"capacity": self.capacity, "fpp": self.fpp, "counts": self.counts}
+        ))
+        tmp.rename(self.dir / "meta.json")
+
+    def overloaded_shards(self) -> list[int]:
+        return [s for s, n in self.counts.items() if n > self.capacity]
+
+    def update(self, new_seen: DataFrame, hash_col="url_hash",
+               shard_col="host_shard") -> None:
+        import os as _os
+
+        import pandas as pd
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        directory, capacity, fpp = str(self.dir), self.capacity, self.fpp
+
+        def rmw(batches):
+            from pathlib import Path
+
+            acc: dict[int, BloomFilter] = {}
+            counts: dict[int, int] = {}
+            ref = BloomFilter.sized(capacity, fpp)
+            for pdf in batches:
+                for shard, grp in pdf.groupby(shard_col):
+                    shard = int(shard)
+                    bf = acc.get(shard)
+                    if bf is None:
+                        p = Path(directory) / f"shard-{shard:04d}.bloom"
+                        bf = (BloomFilter.from_bytes(p.read_bytes())
+                              if p.exists() else BloomFilter.sized(capacity, fpp))
+                        if (bf.n_bits, bf.n_hashes) != (ref.n_bits, ref.n_hashes):
+                            # silent false NEGATIVES otherwise — refuse loudly
+                            # (capacity/fpp must not change mid-run)
+                            raise ValueError(
+                                f"bloom sizing mismatch for shard {shard}: "
+                                f"{bf.n_bits}x{bf.n_hashes} vs {ref.n_bits}x{ref.n_hashes}"
+                            )
+                        acc[shard] = bf
+                        counts[shard] = 0
+                    bf.add(grp[hash_col].to_numpy())
+                    counts[shard] += len(grp)
+            for shard, bf in acc.items():
+                p = Path(directory) / f"shard-{shard:04d}.bloom"
+                tmp = p.with_name(p.name + f".tmp-{_os.getpid()}")
+                tmp.write_bytes(bf.to_bytes())
+                tmp.rename(p)  # atomic publish
+            yield pd.DataFrame({"shard": list(acc), "n": [counts[s] for s in acc]})
+
+        rows = (
+            new_seen.select(shard_col, hash_col)
+            .repartition(shard_col)  # one task owns each shard's RMW
+            .mapInPandas(rmw, schema="shard int, n long")
+            .collect()  # bounded: one (shard, n) row per shard
+        )
+        for r in rows:
+            self.counts[int(r.shard)] = self.counts.get(int(r.shard), 0) + int(r.n)
+        self._write_meta()
+
+    def probe_col(self, hash_col="url_hash", shard_col="host_shard"):
+        """True = maybe seen (needs the exact backstop), False = definitely
+        new. A shard with no sidecar yet has no seen rows → all new. The
+        closure carries only the directory PATH; bitmaps load task-side."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        directory, capacity, fpp = str(self.dir), self.capacity, self.fpp
+        cache: dict[int, BloomFilter | None] = {}  # per-task sidecar memo
+
+        @pandas_udf("boolean")
+        def probe(hashes, shards):
+            from pathlib import Path
+
+            out = np.zeros(len(hashes), dtype=bool)
+            h = hashes.to_numpy()
+            sh = shards.to_numpy()
+            for s in np.unique(sh):
+                s = int(s)
+                if s not in cache:
+                    p = Path(directory) / f"shard-{s:04d}.bloom"
+                    cache[s] = BloomFilter.from_bytes(p.read_bytes()) if p.exists() else None
+                bf = cache[s]
+                if bf is None:
+                    continue
+                m = sh == s
+                out[m] = bf.might_contain(h[m])
+            return pd.Series(out)
+
+        return probe(F.col(hash_col), F.col(shard_col))
+
+
 # -- cuckoo fallback ------------------------------------------------------------
 
 

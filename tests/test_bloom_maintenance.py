@@ -103,3 +103,77 @@ def test_crawl_loop_with_maintained_bloom(spark, tmp_path_factory):
     resume_crawl(spark, pages, ck_part)
     seen_r = sorted(r.url for r in SnapshotStore(ck_part).read_all_batches(spark, "url_seen").collect())
     assert seen_r == seen_e
+
+
+# ---- partition-local sidecar set (no driver bitmaps, no broadcast) -------------
+
+
+def _mk_seen(spark, lo, hi):
+    from ares_spark.crawl.seen import host_shard_col, url_hash_col
+
+    return (
+        spark.range(lo, hi)
+        .select(F.concat(F.lit("https://h"), (F.col("id") % 9).cast("string"),
+                         F.lit(".org/p"), F.col("id").cast("string")).alias("url"))
+        .withColumn("url_hash", url_hash_col("url"))
+        .withColumn("host_shard",
+                    host_shard_col(F.regexp_extract("url", "https://([^/]+)/", 1)))
+    )
+
+
+def test_sidecar_update_matches_driver_held_bitmaps(spark, tmp_path):
+    """The distributed read-modify-write produces byte-identical bitmaps to
+    the driver-held incremental build — same keys, same OR algebra."""
+    from ares_spark.crawl.seen import BloomSidecarSet
+
+    side = BloomSidecarSet(tmp_path / "blooms", capacity_per_shard=10_000)
+    side.update(_mk_seen(spark, 0, 3000))
+    side.update(_mk_seen(spark, 3000, 6000))
+
+    ref = ShardedBloomSet(capacity_per_shard=10_000)
+    ref.update(_mk_seen(spark, 0, 6000))
+
+    got = {int(p.stem.split("-")[1]): p.read_bytes()
+           for p in (tmp_path / "blooms").glob("shard-*.bloom")}
+    assert got == ref.as_bytes_dict()
+    assert side.counts == ref.counts
+    # resume handle round-trips through meta.json
+    loaded = BloomSidecarSet.load(tmp_path / "blooms")
+    assert loaded is not None and loaded.counts == side.counts
+    # driver state is counts only — no bitmap lives on the driver object
+    assert not any(isinstance(v, (bytes, np.ndarray))
+                   for v in vars(side).values())
+
+
+def test_sidecar_probe_no_false_negatives_task_local(spark, tmp_path):
+    """probe_col loads sidecars task-side: every seen key reads maybe=True
+    (no false negatives); unseen keys mostly False; a shard with no
+    sidecar file is all-new."""
+    from ares_spark.crawl.seen import BloomSidecarSet
+
+    side = BloomSidecarSet(tmp_path / "blooms", capacity_per_shard=10_000)
+    side.update(_mk_seen(spark, 0, 5000))
+
+    probe = _mk_seen(spark, 0, 8000).repartition(8, "host_shard")
+    got = probe.withColumn("maybe", side.probe_col()).select("url", "maybe").collect()
+    seen_urls = {r.url for r in _mk_seen(spark, 0, 5000).select("url").collect()}
+    fn = [r.url for r in got if r.url in seen_urls and not r.maybe]
+    assert fn == []  # Bloom contract: zero false negatives
+    new_flagged = sum(1 for r in got if r.url not in seen_urls and r.maybe)
+    assert new_flagged < 300  # ~1% fpp over 3000 unseen
+    # unknown shard (no sidecar): definitely new
+    import pandas as pd
+    ghost = spark.createDataFrame(
+        pd.DataFrame({"url_hash": [123456789], "host_shard": [9999]})
+    )
+    assert ghost.withColumn("m", side.probe_col()).first().m is False
+
+
+def test_sidecar_sizing_mismatch_refused(spark, tmp_path):
+    from ares_spark.crawl.seen import BloomSidecarSet
+
+    side = BloomSidecarSet(tmp_path / "blooms", capacity_per_shard=1000)
+    side.update(_mk_seen(spark, 0, 100))
+    drifted = BloomSidecarSet(tmp_path / "blooms", capacity_per_shard=50_000)
+    with pytest.raises(Exception, match="sizing mismatch"):
+        drifted.update(_mk_seen(spark, 100, 200))
