@@ -660,6 +660,80 @@ def q_a23_breaker_schedule(spark, sf_dir):
     return spark.createDataFrame(rows, "generation int, budget int, state string")
 
 
+_A24_SENTINEL = '{"title":"CACHED-A"}'
+_A24_POISON = '{"title":"POISON-B"}'
+
+
+def q_a24_cache_semantics(spark, sf_dir):
+    """A24 extraction cache through the driver gate (cache.rs:26-109 key
+    semantics; scrape.rs:576-594 never-persist/reuse-invalid): a VALID
+    prior for content A is reused verbatim — u1 (same url as the prior)
+    comes back unchanged, u2 (different url, same content) is a cache hit
+    but changed; an INVALID poison prior for content B must NOT resurrect
+    (u3 extracts fresh, changed vs the poison hash); content C has no
+    prior (u4 fresh). ``source`` is decidable because cache hits carry the
+    prior's stored extracted_data verbatim — the sentinel marks them."""
+    import hashlib
+    from pathlib import Path
+
+    from ares_spark.html import process_html
+    from ares_spark.operators.pipeline import scrape_batch
+    from ares_spark.schemas import SchemaRegistry
+
+    html_a = Path(f"{_FIXDIR}/blog.html").read_bytes()
+    html_b = Path(f"{_FIXDIR}/crawl/post-backpressure.html").read_bytes()
+    html_c = Path(f"{_FIXDIR}/crawl/post-ownership.html").read_bytes()
+    urls = {
+        "u1": ("https://a24.example.org/a1", html_a),
+        "u2": ("https://a24.example.org/a2", html_a),
+        "u3": ("https://a24.example.org/b", html_b),
+        "u4": ("https://a24.example.org/c", html_c),
+    }
+    pages = spark.createDataFrame(
+        [(n, u, h) for n, (u, h) in urls.items()], "name string, url string, html binary"
+    )
+
+    def chash(html, url):
+        text, _ = process_html(html.decode(), url, 500_000)
+        return hashlib.sha256(text.encode()).hexdigest()
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    priors = spark.createDataFrame(
+        [
+            # (url, content_hash, extracted_data, data_hash, is_valid)
+            (urls["u1"][0], chash(html_a, urls["u1"][0]), _A24_SENTINEL,
+             sha(_A24_SENTINEL), True),
+            (urls["u3"][0], chash(html_b, urls["u3"][0]), _A24_POISON,
+             sha(_A24_POISON), False),
+        ],
+        "url string, content_hash string, extracted_data string, "
+        "data_hash string, is_valid boolean",
+    ).select(
+        "*",
+        F.lit("blog").alias("schema_name"),
+        F.lit("deterministic-extractor-v1").alias("model"),
+        F.array().cast("array<string>").alias("validation_errors"),
+        F.array().cast("array<string>").alias("ungrounded_paths"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("created_at"),
+        F.sha2(F.col("url"), 256).alias("id"),
+    )
+    _, _, schema = SchemaRegistry().resolve("blog")
+    out = scrape_batch(
+        pages, schema, "blog", prior_extractions=priors,
+        batch_ts="2026-02-01 00:00:00", mode="staged",
+    )
+    return out.select(
+        "name",
+        F.when(F.col("extracted_data") == _A24_SENTINEL, "cache")
+        .otherwise("fresh")
+        .alias("source"),
+        F.col("is_valid").alias("valid"),
+        "changed",
+    ).orderBy("name")
+
+
 _A25_PAIRS = [("1.0.0", "1.0.1"), ("1.2.0", "1.10.0"), ("2.0.0", "1.9.9"),
               ("1.0.0", "1.0.0"), ("0.9.9", "1.0.0"), ("1.10.2", "1.10.10")]
 
@@ -964,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a07_content_cap": q_a07_content_cap,
         "a10_groundedness_matrix": q_a10_groundedness_matrix,
         "a23_breaker_schedule": q_a23_breaker_schedule,
+        "a24_cache_semantics": q_a24_cache_semantics,
         "a25_version_compare": q_a25_version_compare,
         "a26_registry_resolve": q_a26_registry_resolve,
         "a29_output_format": q_a29_output_format,
@@ -1285,6 +1360,21 @@ def oracle_sql() -> dict[str, str]:
             where rank <= 5
         """,
         "c01_cleaner_fixtures": _c01_oracle(),
+        # hash-variant queries: golden VALUES regenerated by
+        # tools/gen_scale_goldens.py — t05/d04/d06 recomputed INDEPENDENTLY
+        # (spec-derived tokenizer, stdlib blake2b, xxHash re-implemented
+        # from the public spec with F.xxhash64 parity pinned in tests);
+        # s02 is engine output frozen after a recall>=0.8 gate vs numpy
+        # brute force (hyperplane sampling has no code-independent spec)
+        "t05_fingerprint64": _golden_oracle("t05_fingerprint64"),
+        "d04_simhash": _golden_oracle("d04_simhash"),
+        "d06_minhash_lsh_xx": _golden_oracle("d06_minhash_lsh_xx"),
+        "s02_ann_lsh": _golden_oracle("s02_ann_lsh"),
+        "a24_cache_semantics": _case_oracle(
+            [("u1", "cache", True, False), ("u2", "cache", True, True),
+             ("u3", "fresh", True, True), ("u4", "fresh", True, True)],
+            "name, source, valid, changed",
+        ),
         "c02_crawl_trace": _C02_ORACLE,
         "c03_extraction_fixtures": _c03_oracle(),
         "c04_crawl_trace_retries": _C04_ORACLE,
@@ -1356,12 +1446,28 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _golden_oracle(name: str) -> str:
+    """VALUES oracle from tests/golden/scale_oracles.json (regenerate with
+    tools/gen_scale_goldens.py; provenance documented there)."""
+    import json as _json
+    from pathlib import Path
+
+    g = _json.loads(
+        (Path(__file__).parent / _GOLDEN_DIR / "scale_oracles.json").read_text()
+    )[name]
+    return _case_oracle([tuple(r) for r in g["rows"]], g["columns"])
+
+
 def _case_oracle(pairs, cols: str) -> str:
     def lit(v):
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            # bare decimal literals type as DECIMAL in DuckDB VALUES —
+            # force double so the comparator sees float vs float
+            return f"cast({v!r} as double)"
         return str(v)
 
     vals = ", ".join("(" + ", ".join(lit(x) for x in row) + ")" for row in pairs)

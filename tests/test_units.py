@@ -326,3 +326,35 @@ def test_synth_fixture_extraction_golden(name):
     assert ungrounded_fields(text, value) == []
     golden = _json.loads((root / "golden" / "extractions.json").read_text())
     assert canonical_json(value) == golden[name]
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """tools/xxh64.py (the independent golden-generator hash) must equal
+    F.xxhash64 on every column-type path it uses: int, long, short/mid/
+    long strings (all three xxHash length regimes), and multi-column
+    seed chaining."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from xxh64 import spark_xxhash64
+
+    cases = [
+        [("i", 0)], [("i", 7)], [("i", -3)], [("l", 0)], [("l", -9)],
+        [("l", 123456789012345)], [("s", "")], [("s", "hello")],
+        [("s", "é中😀")], [("s", "x" * 31)], [("s", "y" * 32)],
+        [("s", "z" * 100)], [("i", 3), ("s", "abc def")],
+        [("i", 0), ("l", 42), ("s", "mixed")],
+        [("i", 2), ("l", -1), ("l", 5), ("l", 9), ("l", 13)],
+    ]
+    exprs = []
+    for i, case in enumerate(cases):
+        cols = [F.lit(v).cast({"i": "int", "l": "long"}.get(t, "string"))
+                for t, v in case]
+        exprs.append(F.xxhash64(*cols).alias(f"c{i}"))
+    got = spark.range(1).select(*exprs).first()
+    for i, case in enumerate(cases):
+        args = [("long", v) if t == "l" else v for t, v in case]
+        assert spark_xxhash64(*args) == got[f"c{i}"], case
