@@ -803,6 +803,34 @@ def q_m02_wav_decode_stats(spark, sf_dir):
     )
 
 
+def q_m03_png_decode_luma(spark, sf_dir):
+    """REAL PNG decode (stdlib zlib inflate + per-scanline unfiltering,
+    CRC-verified chunk walk — multimodal.decode_png): the fixtures are
+    gradient PNGs whose scanline filters cycle None/Sub/Up/Average/Paeth,
+    and DuckDB recomputes each image's mean luma analytically from the
+    gradient formula — same independent first-principles oracle as m01."""
+    from ares_spark.operators.multimodal import decode_image_features, synth_media_png
+
+    media = synth_media_png(spark, n=6)
+    return decode_image_features(media).select(
+        "media_id", F.round("mean_luma", 3).alias("luma3")
+    )
+
+
+_M03_ORACLE = """
+    with imgs(media_id, w, h, c) as (values
+      ('p0000', 20, 14, 42), ('p0001', 27, 23, 43), ('p0002', 34, 14, 44),
+      ('p0003', 20, 23, 45), ('p0004', 27, 14, 46), ('p0005', 34, 23, 47)),
+    cells as (
+      select media_id, (x * 255) // (w - 1) as r, (y * 255) // (h - 1) as g, c
+      from imgs, generate_series(0, 33) s1(x), generate_series(0, 22) s2(y)
+      where x <= w - 1 and y <= h - 1
+    )
+    select media_id, round(avg((r + g + c) / 3.0), 3) as luma3
+    from cells group by media_id
+"""
+
+
 _M01_ORACLE = """
     with imgs(media_id, w, h, c) as (values
       ('r0000', 20, 14, 42), ('r0003', 20, 23, 45),
@@ -1050,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c04_crawl_trace_retries": q_c04_crawl_trace_retries,
         "m01_image_decode_luma": q_m01_image_decode_luma,
         "m02_wav_decode_stats": q_m02_wav_decode_stats,
+        "m03_png_decode_luma": q_m03_png_decode_luma,
     }
 
 
@@ -1380,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "c04_crawl_trace_retries": _C04_ORACLE,
         "m01_image_decode_luma": _M01_ORACLE,
         "m02_wav_decode_stats": _M02_ORACLE,
+        "m03_png_decode_luma": _M03_ORACLE,
         "d07_embedding_cosine_pairs": """
             with s as (select vec_id, embedding::double[] as e from embeddings),
             pairs as (

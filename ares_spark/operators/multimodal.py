@@ -4,8 +4,10 @@ Arrow-batched ``mapInPandas`` operators.
 
 Codecs dispatch on MAGIC BYTES:
 - ``BM``   → REAL 24-bit BMP decode (pure struct/numpy, no libraries)
+- ``\\x89PNG`` → REAL PNG decode (stdlib zlib inflate + per-scanline
+  unfiltering incl. Sub/Up/Average/Paeth, CRC-verified chunk walk)
 - ``RIFF…WAVE`` → REAL PCM WAV decode (stdlib ``wave`` module)
-- anything else (png/jpeg/mp4 need Pillow/ffmpeg, absent in the sandbox)
+- anything else (jpeg/mp4 need Pillow/ffmpeg, absent in the sandbox)
   → a deterministic fake, or ``NotImplementedError`` in STRICT mode.
 
 So the Spark-side plumbing (schemas, batch shapes, partitioning, UDF
@@ -90,6 +92,142 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return px[::-1] if bottom_up else px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(px: np.ndarray, row_filters=None) -> bytes:
+    """uint8 (h, w, 3) RGB → PNG (8-bit truecolor, no interlace), stdlib
+    zlib only. ``row_filters`` (default: cycle 0..4 by row) picks the
+    per-scanline filter so the decoder's every unfilter path gets real
+    bytes to chew on."""
+    import zlib
+
+    h, w, _ = px.shape
+    bpp = 3
+    raw = px.astype(np.uint8)
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y].reshape(-1)
+        f = (y % 5) if row_filters is None else row_filters[y % len(row_filters)]
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)],
+                dtype=np.uint8,
+            )
+            filt = row - pred
+        out.append(f)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → uint8 (h, w, channels). Real decode, stdlib zlib only:
+    chunk walk with CRC verification, IDAT inflate, per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth). Supports the non-interlaced
+    8-bit gray/RGB/RGBA the LLM-pipeline corpus carries; palette or
+    16-bit depth raise (RFC 2083 §6)."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(blob):
+        (length,) = _struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        (crc,) = _struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = _struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} interlace={interlace}"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, offset=y * (stride + 1) + 1, count=stride
+        ).copy()
+        if f == 0:
+            recon = line
+        elif f == 1:
+            recon = line
+            for x in range(bpp, stride):  # Sub: sequential prefix along x
+                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+        elif f == 2:
+            recon = line + prev  # uint8 wraparound == mod 256
+        elif f == 3:
+            recon = line
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:
+            recon = line
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                recon[x] = (recon[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w, channels)
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """int16 mono samples → RIFF/WAVE bytes (stdlib wave module)."""
     import io
@@ -136,11 +274,13 @@ def _fake_pixels(payload: bytes, width: int, height: int, channels: int) -> np.n
 
 
 def _decode_pixels(payload: bytes, meta) -> np.ndarray:
-    """Magic-byte dispatch: real BMP decode when the bytes ARE an image we
-    can parse without libraries; deterministic fake (or STRICT raise) for
-    formats that need Pillow."""
+    """Magic-byte dispatch: real BMP/PNG decode when the bytes ARE an
+    image we can parse without libraries; deterministic fake (or STRICT
+    raise) for formats that need Pillow (jpeg)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     w = int(meta["width"] or 32) if meta is not None else 32
     h = int(meta["height"] or 32) if meta is not None else 32
     c = int(meta["n_channels"] or 3) if meta is not None else 3
@@ -333,6 +473,25 @@ def synth_media_real(spark, n: int = 12, seed: int = 42) -> DataFrame:
             meta = {"mime": "video/raw-frames", "width": None, "height": None,
                     "n_channels": None, "duration_ms": 4000, "sample_rate": None}
         rows.append((f"r{i:04d}", kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_media_png(spark, n: int = 6, seed: int = 42) -> DataFrame:
+    """Image table of REAL PNGs carrying the same deterministic gradient
+    as synth_media_real's BMPs, with per-scanline filters cycling
+    0..4 so every unfilter path decodes real bytes. The gradient makes
+    the mean luma analytically recomputable in SQL (the m03 oracle)."""
+    rows = []
+    for i in range(n):
+        w, h = 20 + (i % 3) * 7, 14 + (i % 2) * 9
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)),
+             np.full((h, w), (seed + i) % 256)], axis=2
+        ).astype(np.uint8)
+        meta = {"mime": "image/png", "width": w, "height": h, "n_channels": 3,
+                "duration_ms": None, "sample_rate": None}
+        rows.append((f"p{i:04d}", "image", encode_png(px), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

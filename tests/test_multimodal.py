@@ -133,3 +133,99 @@ def test_real_wav_stats_ground_truth(spark):
     assert s.n_samples == 8000
     assert abs(s.rms - 10_000 / math.sqrt(2)) < 60  # sine RMS = A/√2
     assert s.clip_ratio == 0.0
+
+
+# ---- PNG: real decode (stdlib zlib + unfiltering) ------------------------------
+
+
+def test_png_roundtrip_every_filter():
+    """encode→decode is pixel-exact for each filter type alone and for the
+    mixed 0..4 cycle (all unfilter paths exercised on real deflate bytes)."""
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(encode_png(px, row_filters=[f])) == px).all(), f
+    assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_png_decode_handcrafted_bytes():
+    """Decoder pinned against PNG bytes built BY HAND from RFC 2083 — not
+    via encode_png — so an encoder/decoder twin bug cannot self-cancel.
+    2x2 RGB, row 0 filter None, row 1 filter Sub (recon[x]=filt[x]+left)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # row0: filter 0, pixels (10,20,30) (40,50,60)
+    # row1: filter 1, filtered bytes (1,2,3) (4,5,6)
+    #   -> recon px: (1,2,3) then (1+4, 2+5, 3+6) = (5,7,9)
+    scan = bytes([0, 10, 20, 30, 40, 50, 60]) + bytes([1, 1, 2, 3, 4, 5, 6])
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    got = decode_png(blob)
+    want = np.array([[[10, 20, 30], [40, 50, 60]], [[1, 2, 3], [5, 7, 9]]],
+                    dtype=np.uint8)
+    assert (got == want).all()
+    # corrupted CRC must be refused, not decoded
+    bad = bytearray(blob)
+    bad[-5] ^= 0xFF  # IEND crc
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_decode_paeth_handcrafted():
+    """Paeth path against hand-computed predictor values (RFC 2083 §6.6):
+    2x2 gray (1 channel), row 1 filter 4."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # gray
+    # row0: None -> (100, 200)
+    # row1: Paeth, filt (7, 9):
+    #   x=0: a=0,b=100,c=0 -> p=100, pa=100,pb=0 -> pred=b=100 -> 107
+    #   x=1: a=107,b=200,c=100 -> p=207, pa=100,pb=7,pc=107 -> pred=200 -> 209
+    scan = bytes([0, 100, 200]) + bytes([4, 7, 9])
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    got = decode_png(blob)
+    assert (got == np.array([[[100], [200]], [[107], [209]]], dtype=np.uint8)).all()
+
+
+def test_png_media_features_through_engine(spark):
+    """synth_media_png drives the full decode_image_features Arrow pass;
+    luma equals the gradient's analytic mean (same formula as the m03
+    DuckDB oracle)."""
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_image_features, synth_media_png
+
+    got = {r.media_id: r.mean_luma
+           for r in decode_image_features(synth_media_png(spark, n=6)).collect()}
+    assert len(got) == 6
+    for i in range(6):
+        w, h = 20 + (i % 3) * 7, 14 + (i % 2) * 9
+        y, x = np.mgrid[0:h, 0:w]
+        want = np.stack([(x * 255 // (w - 1)), (y * 255 // (h - 1)),
+                         np.full((h, w), (42 + i) % 256)], axis=2).mean()
+        assert abs(got[f"p{i:04d}"] - want) < 1e-9, i
