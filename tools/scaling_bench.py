@@ -52,13 +52,25 @@ def run_level(cpus: int, pages_dir: str) -> dict:
     return json.loads(line)
 
 
+REPEATS = int(os.environ.get("ARES_SCALING_REPEATS", "2"))
+
+
 def main() -> None:
     pages_dir = tempfile.mkdtemp(prefix="ares_scaling_pages_")
     results = {}
-    for cpus in LEVELS:
-        r = run_level(cpus, pages_dir)
-        results[cpus] = r
-        print(f"local[{cpus}]: {r['pipeline_sec']}s  {r['urls_per_sec']} urls/s", flush=True)
+    # best-of-R, INTERLEAVED (N, 4N, N, 4N, ...): the host has 10-50%
+    # CPU-steal drift between phases — interleaving decorrelates it, and
+    # best-of keeps the least-disturbed run per level
+    for rep in range(REPEATS):
+        for cpus in LEVELS:
+            r = run_level(cpus, pages_dir)
+            best = results.get(cpus)
+            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+                results[cpus] = r
+            print(
+                f"rep{rep} local[{cpus}]: {r['pipeline_sec']}s  "
+                f"{r['urls_per_sec']} urls/s", flush=True,
+            )
 
     n, n4 = LEVELS
     tp_n = results[n]["urls_per_sec"]
