@@ -69,18 +69,12 @@ def main() -> None:
         "urls_per_sec": round(visits / wall, 1),
     }
     print(json.dumps(result))
-    bench_md = Path(__file__).resolve().parent.parent / "BENCH.md"
-    if bench_md.exists():
-        bench_md.write_text(
-            bench_md.read_text()
-            + f"\n## Full crawl-loop bench (BFS engine end-to-end)\n\n"
-            f"{N_PAGES:,} fully-linked pages, fanout 8, host-RR ordering, Bloom\n"
-            f"seen-tier, snapshot checkpoints every generation: "
-            f"**{result['urls_per_sec']} URLs/s** over {result['generations']} "
-            f"generations at local[{CPUS}] ({result['wall_sec']}s wall, "
-            f"{visits:,} visits).\n"
-            f"Reproduce: `python tools/crawl_bench.py {N_PAGES} {CPUS}`\n"
-        )
+    # record the run in BENCH_CRAWL.jsonl (append-only log of runs);
+    # BENCH.md's crawl table is curated by hand from these lines, so a
+    # bench run never clobbers or duplicates the markdown
+    log = Path(__file__).resolve().parent.parent / "BENCH_CRAWL.jsonl"
+    with log.open("a") as fh:
+        fh.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
