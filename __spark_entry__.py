@@ -803,6 +803,65 @@ def q_m02_wav_decode_stats(spark, sf_dir):
     )
 
 
+_W01_PAGES = [
+    # (url, iso_date, body, status, mime) — the construction-known corpus;
+    # the oracle pins what goes IN, the query proves the distributed
+    # gzip-member WARC parse gets it back OUT
+    ("https://w1.example.org/a", "2026-03-01T00:00:00Z",
+     "<html><p>alpha page</p></html>", 200, "text/html"),
+    ("https://w1.example.org/b", "2026-03-01T00:05:00Z",
+     "<html><p>beta page with more bytes</p></html>", 200, "text/html"),
+    ("https://w2.example.org/c", "2026-03-02T08:30:00Z",
+     "<html><p>gamma émoji 😀</p></html>", 200, "text/html"),
+    ("https://w2.example.org/gone", "2026-03-02T08:31:00Z",
+     "<html>gone</html>", 404, "text/html"),
+    ("https://w2.example.org/img", "2026-03-02T08:32:00Z",
+     "PNGBYTES", 200, "image/png"),
+]
+
+
+def q_w01_warc_source(spark, sf_dir):
+    """WARC source (io/warc.py): Common-Crawl-style per-record-gzip
+    archives written fresh each run, read back through the DISTRIBUTED
+    file-per-task reader (streaming gzip decode, never whole-file rows).
+    Output covers url/timestamp/status/mime propagation and byte-exact
+    bodies (sha256); the oracle is the construction-known input."""
+    import tempfile
+    from pathlib import Path
+
+    from ares_spark.io.warc import read_warc, write_warc
+
+    d = Path(tempfile.mkdtemp(prefix="ares_w01_"))
+    write_warc(str(d / "w1.warc.gz"),
+               [{"url": u, "date": t, "body": b.encode(), "status": s, "mime": m}
+                for u, t, b, s, m in _W01_PAGES[:2]])
+    write_warc(str(d / "w2.warc.gz"),
+               [{"url": u, "date": t, "body": b.encode(), "status": s, "mime": m}
+                for u, t, b, s, m in _W01_PAGES[2:]])
+    return read_warc(spark, str(d)).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_unix"),
+        "http_status",
+        "mime",
+        F.length("html").alias("n_bytes"),
+        F.sha2("html", 256).alias("body_sha"),
+    ).orderBy("url")
+
+
+def _w01_oracle() -> str:
+    import hashlib
+    from datetime import datetime, timezone
+
+    rows = []
+    for u, t, b, s, m in _W01_PAGES:
+        body = b.encode()
+        ts = int(datetime.fromisoformat(t.replace("Z", "+00:00"))
+                 .replace(tzinfo=timezone.utc).timestamp())
+        rows.append((u, ts, s, m, len(body), hashlib.sha256(body).hexdigest()))
+    rows.sort()
+    return _case_oracle(rows, "url, ts_unix, http_status, mime, n_bytes, body_sha")
+
+
 def q_m03_png_decode_luma(spark, sf_dir):
     """REAL PNG decode (stdlib zlib inflate + per-scanline unfiltering,
     CRC-verified chunk walk — multimodal.decode_png): the fixtures are
@@ -1079,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_image_decode_luma": q_m01_image_decode_luma,
         "m02_wav_decode_stats": q_m02_wav_decode_stats,
         "m03_png_decode_luma": q_m03_png_decode_luma,
+        "w01_warc_source": q_w01_warc_source,
     }
 
 
@@ -1410,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "m01_image_decode_luma": _M01_ORACLE,
         "m02_wav_decode_stats": _M02_ORACLE,
         "m03_png_decode_luma": _M03_ORACLE,
+        "w01_warc_source": _w01_oracle(),
         "d07_embedding_cosine_pairs": """
             with s as (select vec_id, embedding::double[] as e from embeddings),
             pairs as (
