@@ -127,6 +127,10 @@ class CrawlConfig:
     # throughput default); staged = global distinct-content extraction +
     # join (for expensive extractors with high cross-partition duplication)
     extraction_mode: str = "fused"
+    # derive the robots corpus from the pages table itself (rows whose
+    # path is exactly /robots.txt) — the batch analog of the reference's
+    # fetch-robots-at-crawl-time; an explicit robots_raw still wins
+    robots_from_corpus: bool = False
 
 
 def seed_frontier(
@@ -202,6 +206,26 @@ def _robots_allowed_col(user_agent: str = "ares"):
         return pd.Series([check(u, t) for u, t in zip(urls, txts)], dtype=bool)
 
     return allowed
+
+
+def robots_from_pages(pages: DataFrame) -> DataFrame:
+    """(host, robots_txt) derived from the crawl corpus itself — the batch
+    analog of the reference's fetch-robots.txt-at-crawl-time (spider
+    behavior, robots.rs): any row whose url path is exactly /robots.txt
+    supplies its host's rules. Stays a DataFrame end to end (the
+    10^7-host corpus never lands on the driver); a host with several
+    robots rows resolves deterministically (max url wins — in practice
+    the path is unique per host)."""
+    from ares_spark.operators.pipeline import latest_per_key
+
+    cand = pages.filter(
+        F.col("url").rlike(r"^https?://[^/]+/robots\.txt$")
+    ).select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.col("url"),
+        F.decode(F.col("html"), "UTF-8").alias("robots_txt"),
+    )
+    return latest_per_key(cand, ["host"], order_col="url", tiebreak=None).drop("url")
 
 
 def _robots_assets(spark, robots_raw, cfg: "CrawlConfig"):
@@ -367,6 +391,10 @@ def resume_crawl(
 
 
 def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
+    if cfg.robots_from_corpus and (
+        robots_raw is None or (isinstance(robots_raw, dict) and not robots_raw)
+    ):
+        robots_raw = robots_from_pages(pages)
     state.robots_df, state.robots_budgets = _robots_assets(spark, robots_raw, cfg)
     # extractions_latest: incrementally-maintained latest extraction per
     # url (A12). Purely disk-backed, so run and resume share this one line.

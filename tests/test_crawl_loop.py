@@ -292,3 +292,37 @@ def test_robots_as_dataframe_table(spark, site, tmp_path_factory):
     )
     seen = SnapshotStore(ckpt).read_all_batches(spark, "url_seen")
     assert [r.url for r in seen.collect()] == [POSTS[0]]
+
+
+def test_robots_from_corpus(spark, tmp_path):
+    """cfg.robots_from_corpus derives the robots TABLE from /robots.txt
+    rows in the pages corpus itself (the reference fetches robots at
+    crawl time) — disallowed paths are never enqueued, robots-less hosts
+    are unrestricted, and the robots url itself never needs pre-wiring."""
+    def page(url, links):
+        body = "".join(f'<a href="{l}">x</a>' for l in links)
+        return (url, f"<html><body><h1>t</h1>{body}</body></html>".encode())
+
+    rows = [
+        ("https://a.example.org/robots.txt",
+         b"User-agent: *\nDisallow: /private\n"),
+        page("https://a.example.org/", [
+            "https://a.example.org/public",
+            "https://a.example.org/private/x",
+            "https://b.example.org/open",
+        ]),
+        page("https://a.example.org/public", []),
+        page("https://a.example.org/private/x", []),
+        page("https://b.example.org/open", []),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    cfg = CrawlConfig(max_depth=3, max_pages=50, max_retries=0,
+                      allowed_domains=["example.org"], max_generations=8,
+                      robots_from_corpus=True)
+    run_crawl(spark, pages, ["https://a.example.org/"], str(tmp_path / "ck"),
+              cfg, session_id="s")
+    visits = SnapshotStore(str(tmp_path / "ck")).read_all_batches(spark, "visits")
+    visited = {r.url for r in visits.collect()}
+    assert "https://a.example.org/public" in visited
+    assert "https://b.example.org/open" in visited  # no robots -> allowed
+    assert "https://a.example.org/private/x" not in visited

@@ -186,3 +186,70 @@ def test_compact_log_never_merges_past_published_manifest(spark, tmp_path):
     # a re-run of generation 5 overwrites its dir without duplicating rows
     store.append_batch(spark.createDataFrame([(5,)], "generation int"), "visits", 5)
     assert store.read_all_batches(spark, "visits").count() == 6
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_latest_state_log_random_walk_vs_model(spark, tmp_path, seed):
+    """Model-based check: a random sequence of (append delta, compact,
+    read-asof) operations must always agree with a plain python dict
+    replay — the state log's merge-on-read + compaction + history window
+    can never change WHAT is resolved, only how it is stored."""
+    import random
+
+    from ares_spark.crawl.checkpoint import LatestStateLog, SnapshotStore
+
+    rng = random.Random(seed)
+    log = LatestStateLog(
+        SnapshotStore(tmp_path / f"w{seed}"), "state", ["url"],
+        tiebreak_cols=["claim_pos"], compact_interval=rng.choice([2, 3]),
+    )
+    model: dict[str, str] = {}
+    history = []  # model snapshot after each generation
+    for g in range(10):
+        n = rng.randint(0, 4)
+        rows = []
+        for i in range(n):
+            u = f"u{rng.randint(0, 6)}"
+            rows.append((u, f"h{g}-{i}", i))
+        # within-gen dup handling: max claim_pos wins — apply in order
+        for u, h, _ in rows:
+            model[u] = h
+        log.append_delta(_ext_df(spark, rows), g)
+        log.maybe_compact(spark, g)
+        history.append(dict(model))
+        got = {r.url: r.data_hash for r in log.read_latest(spark, g).collect()}
+        assert got == model, (seed, g)
+    # the crash-resume window: the generation-back as-of view must still
+    # resolve exactly (compaction keeps one base of history for this;
+    # older as-of views are dropped by design)
+    asof = {r.url: r.data_hash for r in log.read_latest(spark, 8).collect()}
+    assert asof == history[8]
+    final = {r.url: r.data_hash for r in log.read_latest(spark, 9).collect()}
+    assert final == history[-1]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_compact_log_random_walk_preserves_multiset(spark, tmp_path, seed):
+    """Append/compact in random interleavings: the union read equals the
+    exact multiset of appended rows at every step, and dirs stay bounded."""
+    import random
+
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    rng = random.Random(seed)
+    store = SnapshotStore(tmp_path / f"c{seed}")
+    expect: list[str] = []
+    for g in range(14):
+        rows = [(g, f"r{g}-{i}") for i in range(rng.randint(0, 3))]
+        expect.extend(v for _, v in rows)
+        store.append_batch(
+            spark.createDataFrame(rows or [(g, None)], "generation int, v string")
+            .filter("v is not null"),
+            "log", g,
+        )
+        if rng.random() < 0.5:
+            store.compact_log(spark, "log", g - 1, max_runs=rng.choice([2, 4]))
+            assert len([d for d in store._log_dirs("log") if d[1] <= g - 1]) <= 4
+        df = store.read_all_batches(spark, "log")
+        got = sorted(r.v for r in df.collect()) if df is not None else []
+        assert got == sorted(expect), (seed, g)
