@@ -16,7 +16,41 @@ import json
 import re
 from pathlib import Path
 
-_DEFAULT_DIR = Path(__file__).parent / "defs"
+def _default_defs_dir() -> Path:
+    """The packaged schema definitions. When the package is imported from
+    a ``--py-files`` zip (the spark-submit ship shape), ``__file__`` points
+    inside the archive and Path globbing cannot see it — extract the defs
+    tree once to a content-addressed temp dir so the registry (including
+    its CRUD writes) operates on a real, writable filesystem root."""
+    here = Path(__file__).parent / "defs"
+    if here.is_dir():
+        return here
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    zip_path, _, inner = str(Path(__file__).resolve()).partition(".zip")
+    zip_path += ".zip"
+    prefix = str(Path(inner.lstrip("/")).parent / "defs")
+    with zipfile.ZipFile(zip_path) as zf:
+        names = sorted(n for n in zf.namelist() if n.startswith(prefix))
+        digest = hashlib.sha256("".join(names).encode()).hexdigest()[:16]
+        out = Path(tempfile.gettempdir()) / f"ares_schemas-{digest}"
+        if not out.exists():
+            tmp = Path(f"{out}.tmp-{os.getpid()}")
+            for n in names:
+                dest = tmp / Path(n).relative_to(prefix)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                dest.write_bytes(zf.read(n))
+            try:
+                tmp.rename(out)
+            except OSError:
+                pass  # concurrent extractor won the rename — identical content
+    return out
+
+
+_DEFAULT_DIR = _default_defs_dir()
 
 _NUM = re.compile(r"\d+")
 
