@@ -166,3 +166,46 @@ def test_py_shingles_matches_expression_tokenizer(text):
     trimmed = text.strip(" ")
     expected = [] if trimmed == "" else _re.split(r"[ \t\n\x0b\f\r]+", trimmed)
     assert _py_tokens(text) == expected, text
+
+
+@given(st.binary(max_size=400))
+@_settings
+def test_warc_parser_total_on_junk(raw):
+    """At 100k archives some WILL be corrupt: the record iterator must
+    either parse or raise ValueError — never hang, never crash with
+    anything else."""
+    import io
+
+    from ares_spark.io.warc import iter_warc_records
+
+    try:
+        list(iter_warc_records(io.BufferedReader(io.BytesIO(raw))))
+    except ValueError:
+        pass
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 99), st.binary(max_size=60),
+              st.sampled_from([200, 301, 404, 500])),
+    min_size=0, max_size=6))
+@_settings
+def test_warc_roundtrip_property(recs):
+    """write → read returns exactly the records written, in order, with
+    byte-identical bodies and statuses — for any body bytes."""
+    import tempfile
+    from pathlib import Path
+
+    from ares_spark.io.warc import _records_of, write_warc
+
+    with tempfile.TemporaryDirectory() as d:
+        path = str(Path(d) / "x.warc.gz")
+        write_warc(path, [
+            {"url": f"https://h.example.org/p{i}", "date": "2026-03-01T00:00:00Z",
+             "body": body, "status": status}
+            for i, (_, body, status) in enumerate(recs)
+        ])
+        got = list(_records_of(path))
+        assert [(r[0], bytes(r[5]), r[3]) for r in got] == [
+            (f"https://h.example.org/p{i}", body, status)
+            for i, (_, body, status) in enumerate(recs)
+        ]
