@@ -110,30 +110,35 @@ def _open_stream(path: str):
     return io.BufferedReader(fh)
 
 
-def _records_of(path: str) -> Iterator[tuple]:
+def _parse_records(stream, source: str) -> Iterator[tuple]:
+    """WARC byte stream → WARC_SCHEMA row tuples (content records only)."""
     from datetime import datetime
 
+    for headers, payload in iter_warc_records(stream):
+        rtype = headers.get("warc-type", "")
+        if rtype not in ("response", "resource"):
+            continue
+        url = headers.get("warc-target-uri")
+        ts = headers.get("warc-date")
+        when = None
+        if ts:
+            try:
+                when = datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                )
+            except ValueError:
+                when = None
+        if rtype == "response":
+            status, mime, body = _split_http(payload)
+        else:
+            status, body = None, payload
+            mime = (headers.get("content-type") or "").split(";")[0].strip() or None
+        yield (url, when, rtype, status, mime, body, source)
+
+
+def _records_of(path: str) -> Iterator[tuple]:
     with _open_stream(path) as stream:
-        for headers, payload in iter_warc_records(stream):
-            rtype = headers.get("warc-type", "")
-            if rtype not in ("response", "resource"):
-                continue
-            url = headers.get("warc-target-uri")
-            ts = headers.get("warc-date")
-            when = None
-            if ts:
-                try:
-                    when = datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(
-                        tzinfo=None
-                    )
-                except ValueError:
-                    when = None
-            if rtype == "response":
-                status, mime, body = _split_http(payload)
-            else:
-                status, body = None, payload
-                mime = (headers.get("content-type") or "").split(";")[0].strip() or None
-            yield (url, when, rtype, status, mime, body, path)
+        yield from _parse_records(stream, path)
 
 
 def read_warc(spark: SparkSession, paths: list[str] | str,
@@ -191,14 +196,102 @@ def warc_pages(spark: SparkSession, paths, min_status: int = 200,
     ).select("url", "warc_ts", "html")
 
 
+# -- CDX-indexed reads (record-granular splits) --------------------------------
+#
+# File-per-task reading caps parallelism at the archive count and makes a
+# single fat archive a straggler. Common Crawl ships CDX(J) indexes with
+# each record's (filename, offset, length) — and because every record is
+# its own gzip member, a task can seek straight to its records and
+# decompress only them. read_warc_cdx turns N archives × M records into
+# an arbitrarily-partitionable DataFrame of index entries: parallelism is
+# record-granular, stragglers impossible, and predicate pushdown on the
+# (small, columnar) index happens before any archive byte is read.
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a CDXJ index file (lines of ``urlkey timestamp {json}``,
+    gzipped or plain) into (warc_file, offset, length) entries."""
+    import json as _json
+
+    opener = gzip.open if path.endswith(".gz") else open
+    rows = []
+    with opener(path, "rt") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            meta = _json.loads(line.split(" ", 2)[2])
+            rows.append((meta["filename"], int(meta["offset"]), int(meta["length"])))
+    return spark.createDataFrame(rows, CDX_SCHEMA)
+
+
+def read_warc_cdx(
+    spark: SparkSession, entries: DataFrame, base_dir: str = "",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """WARC records addressed by CDX entries → DataFrame(WARC_SCHEMA).
+    Each task seeks to its entries' offsets and decompresses only those
+    gzip members — never a whole-archive scan. ``entries`` may be
+    pre-filtered/partitioned arbitrarily (it is just a DataFrame)."""
+    import os
+
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    src = entries.select("warc_file", "offset", "length").repartition(
+        parallelism, "warc_file", "offset"
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            buf: list[tuple] = []
+            # group by file so each archive opens once per batch, offsets
+            # read in ascending order (sequential-friendly on object stores)
+            for fname, grp in pdf.groupby("warc_file"):
+                path = os.path.join(base_dir, fname) if base_dir else fname
+                with open(path, "rb") as fh:
+                    for off, length in sorted(
+                        zip(grp["offset"], grp["length"])
+                    ):
+                        fh.seek(int(off))
+                        member = fh.read(int(length))
+                        blob = gzip.decompress(member)
+                        stream = io.BufferedReader(io.BytesIO(blob))
+                        for rec in _parse_records(stream, path):
+                            buf.append(rec)
+                        if len(buf) >= ARROW_BATCH:
+                            yield pd.DataFrame(buf, columns=cols)
+                            buf = []
+            if buf:
+                yield pd.DataFrame(buf, columns=cols)
+
+    return src.mapInPandas(fetch, schema=WARC_SCHEMA)
+
+
 # -- writer (fixtures / round-tripping) ----------------------------------------
 
 
-def write_warc(path: str, records: list[dict], per_record_gzip: bool = True) -> None:
+def write_warc(
+    path: str, records: list[dict], per_record_gzip: bool = True,
+    cdx_path: str | None = None,
+) -> None:
     """Write a WARC file. Each record dict: url, date (ISO str), body
     (bytes), and optionally status (int, default 200) + mime. Response
     records get a minimal HTTP envelope; per_record_gzip=True writes one
-    gzip member per record (the Common Crawl convention)."""
+    gzip member per record (the Common Crawl convention). ``cdx_path``
+    additionally writes a CDXJ index with per-record (offset, length)."""
+    import json as _json
+    import os
+
+    cdx_lines = []
     out = open(path, "wb")
     try:
         for r in records:
@@ -217,6 +310,21 @@ def write_warc(path: str, records: list[dict], per_record_gzip: bool = True) -> 
                 f"Content-Length: {len(http)}\r\n\r\n"
             ).encode()
             blob = head + http + b"\r\n\r\n"
-            out.write(gzip.compress(blob) if per_record_gzip else blob)
+            member = gzip.compress(blob) if per_record_gzip else blob
+            offset = out.tell()
+            out.write(member)
+            cdx_lines.append(
+                f"{r['url']} {r['date']} "
+                + _json.dumps(
+                    {"url": r["url"], "filename": os.path.basename(path),
+                     "offset": offset, "length": len(member),
+                     "status": str(status), "mime": mime}
+                )
+            )
     finally:
         out.close()
+    if cdx_path is not None:
+        if not per_record_gzip:
+            raise ValueError("CDX offsets require per-record gzip members")
+        with open(cdx_path, "w") as fh:
+            fh.write("\n".join(cdx_lines) + ("\n" if cdx_lines else ""))

@@ -117,3 +117,38 @@ def test_warc_truncated_record_refused(tmp_path):
                   b"WARC-Target-URI: https://t/\r\nContent-Length: 999\r\n\r\nshort")
     with pytest.raises(ValueError, match="truncated"):
         list(_records_of(str(p)))
+
+
+def test_cdx_indexed_read_equals_sequential(spark, tmp_path):
+    """Record-granular CDX reads return exactly what the sequential
+    file-per-task reader returns — and a filtered index reads only the
+    addressed records (the scale path: a fat archive splits across
+    tasks, predicate pushdown happens on the index before any byte of
+    the archive is read)."""
+    from ares_spark.io.warc import read_cdx, read_warc, read_warc_cdx, write_warc
+
+    recs = [
+        {"url": f"https://cdx.example.org/p{i:03d}", "date": "2026-03-01T00:00:00Z",
+         "body": f"<html><p>page {i} {'x' * (i % 7)}</p></html>".encode(),
+         "status": 200 if i % 5 else 404}
+        for i in range(50)
+    ]
+    warc = tmp_path / "big.warc.gz"
+    cdx = tmp_path / "big.cdx"
+    write_warc(str(warc), recs, cdx_path=str(cdx))
+
+    entries = read_cdx(spark, str(cdx))
+    assert entries.count() == 50
+
+    via_cdx = read_warc_cdx(spark, entries, base_dir=str(tmp_path)).cache()
+    sequential = read_warc(spark, str(warc)).cache()
+    a = sorted((r.url, bytes(r.html), r.http_status) for r in via_cdx.collect())
+    b = sorted((r.url, bytes(r.html), r.http_status) for r in sequential.collect())
+    assert a == b and len(a) == 50
+
+    # pre-filter the INDEX: only the addressed half is parsed
+    half = entries.orderBy("offset").limit(25)
+    got = read_warc_cdx(spark, half, base_dir=str(tmp_path))
+    assert got.count() == 25
+    # the entries DataFrame partitions arbitrarily -> record-granular tasks
+    assert via_cdx.rdd.getNumPartitions() > 1
