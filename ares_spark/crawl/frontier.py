@@ -32,6 +32,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("crawl_session_id", T.StringType(), True),
         T.StructField("parent_job_id", T.StringType(), True),
         T.StructField("depth", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), True),  # priority (north_rule)
         T.StructField("max_depth", T.IntegerType(), False),
         T.StructField("max_pages", T.IntegerType(), False),
         T.StructField("allowed_domains", T.ArrayType(T.StringType()), True),
@@ -89,11 +90,16 @@ def order_fifo(df: DataFrame, n_rows: int | None = None) -> DataFrame:
 
 
 def order_host_rr(df: DataFrame, n_rows: int | None = None) -> DataFrame:
-    """north_rule priority: host-aware round-robin with depth/score order —
-    rank within host by (depth, created_seq), interleave hosts by rank."""
-    w_host = Window.partitionBy("host").orderBy(
-        F.col("next_retry_at").asc_nulls_first(), F.col("depth").asc(), F.col("created_seq").asc()
-    )
+    """north_rule priority: host-aware round-robin with depth/score order
+    (SURVEY A20) — rank within host by (depth asc, score DESC,
+    created_seq), interleave hosts by rank. Higher score = claimed
+    earlier within its host round; inputs without a score column order
+    as all-equal (back-compatible)."""
+    order = [F.col("next_retry_at").asc_nulls_first(), F.col("depth").asc()]
+    if "score" in df.columns:
+        order.append(F.col("score").desc_nulls_last())
+    order.append(F.col("created_seq").asc())
+    w_host = Window.partitionBy("host").orderBy(*order)
     df = df.withColumn("host_rank", F.row_number().over(w_host))
     return global_order_rank(
         df, [F.col("host_rank"), F.col("host"), F.col("created_seq")], n_rows=n_rows

@@ -131,6 +131,13 @@ class CrawlConfig:
     # path is exactly /robots.txt) — the batch analog of the reference's
     # fetch-robots-at-crawl-time; an explicit robots_raw still wins
     robots_from_corpus: bool = False
+    # frontier priority score (north_rule: host-RR with depth/SCORE order):
+    #   zero          all equal — ordering reduces to (depth, created_seq)
+    #   link_position earlier links on a page outrank later ones
+    #   parent_decay  seeds 1.0, children inherit parent_score × decay
+    #                 (a PageRank-ish prior favoring link-near-seed pages)
+    score_mode: str = "zero"
+    score_decay: float = 0.85
 
 
 def seed_frontier(
@@ -158,6 +165,7 @@ def seed_frontier(
                 "crawl_session_id": session_id,
                 "parent_job_id": None,
                 "depth": 0,
+                "score": 1.0 if cfg.score_mode == "parent_decay" else 0.0,
                 "max_depth": cfg.max_depth,
                 "max_pages": cfg.max_pages,
                 "allowed_domains": list(cfg.allowed_domains),
@@ -289,6 +297,17 @@ def politeness_budget_col(
         roll = F.pmod(F.xxhash64(h, F.lit(generation), F.lit(seed)), F.lit(jitter_ms + 1))
         delay = delay + roll / F.lit(1000.0)
     return F.greatest(F.lit(1), F.floor(F.lit(window_s) / delay)).cast("int")
+
+
+def child_score_expr(cfg: "CrawlConfig"):
+    """Frontier priority for a discovered link (north_rule depth/score
+    ordering; column expression over the spider's candidate rows, which
+    carry the parent's ``score`` and the link's ``link_rank``)."""
+    if cfg.score_mode == "link_position":
+        return -F.col("link_rank").cast("double")
+    if cfg.score_mode == "parent_decay":
+        return F.coalesce(F.col("score"), F.lit(0.0)) * F.lit(cfg.score_decay)
+    return F.lit(0.0)
 
 
 def _read_seen(spark, store, upto_generation: int):
@@ -616,7 +635,7 @@ def _run_generation(
     )
     kids = (
         spider_src.select(
-            "claim_pos", "job_id", "depth", "max_depth", "max_pages",
+            "claim_pos", "job_id", "depth", "score", "max_depth", "max_pages",
             "allowed_domains", "url",
             F.posexplode("links").alias("link_rank", "link"),
         )
@@ -730,6 +749,7 @@ def _run_generation(
         F.lit(session_id).alias("crawl_session_id"),
         F.col("job_id").alias("parent_job_id"),
         (F.col("depth") + 1).alias("depth"),
+        child_score_expr(cfg).alias("score"),
         F.col("max_depth"),
         F.col("max_pages"),
         F.col("allowed_domains"),

@@ -208,3 +208,49 @@ def test_politeness_jitter_deterministic(spark, tmp_path_factory):
                 "host", politeness_budget_col("crawl_delay", 60.0, jitter_ms=500, generation=g).alias("b")
             ).collect())))
     assert len(rolls) > 1
+
+
+def test_order_host_rr_score_priority(spark):
+    """north_rule depth/SCORE ordering: within a host round, higher score
+    claims first; depth still dominates score; scoreless input unchanged."""
+    rows = [
+        # host, seq, retry, depth, score
+        ("a.com", 0, None, 1, 0.2), ("a.com", 1, None, 1, 0.9),
+        ("a.com", 2, None, 0, 0.1),  # lower depth beats any score
+        ("b.com", 3, None, 1, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "host string, created_seq long, next_retry_at double, depth int, score double",
+    )
+    got = [(r.host, r.created_seq)
+           for r in order_host_rr(df).orderBy("claim_pos").collect()]
+    assert got == [
+        ("a.com", 2), ("b.com", 3),   # round 1: depth-0 wins a.com
+        ("a.com", 1),                 # round 2: score 0.9 before 0.2
+        ("a.com", 0),
+    ]
+
+
+def test_crawl_parent_decay_scoring(spark, tmp_path):
+    """score_mode='parent_decay': seeds carry 1.0 and children inherit
+    parent x decay — the frontier rows the loop persists show it."""
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.crawl.checkpoint import FrontierLog, SnapshotStore
+
+    pages = _mk_pages(spark, {
+        "https://s.org/": ["https://s.org/a"],
+        "https://s.org/a": ["https://s.org/b"],
+        "https://s.org/b": [],
+    })
+    cfg = CrawlConfig(max_depth=3, max_pages=10, max_retries=0,
+                      allowed_domains=["s.org"], max_generations=6,
+                      ordering="host_rr", score_mode="parent_decay")
+    run_crawl(spark, pages, ["https://s.org/"], str(tmp_path / "ck"), cfg,
+              session_id="s")
+    flog = FrontierLog(SnapshotStore(str(tmp_path / "ck")))
+    g = SnapshotStore(str(tmp_path / "ck")).latest_generation()
+    rows = {r.url: r.score for r in flog.read_full(spark, g).collect()}
+    assert rows["https://s.org/"] == 1.0
+    assert abs(rows["https://s.org/a"] - 0.85) < 1e-9
+    assert abs(rows["https://s.org/b"] - 0.85 * 0.85) < 1e-9

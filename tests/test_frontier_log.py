@@ -14,7 +14,7 @@ def _row(job_id, status="pending", seq=0, url=None):
         "host_shard": 1, "schema_name": "blog", "status": status,
         "retry_count": 0, "max_retries": 3, "next_retry_at": None,
         "created_seq": seq, "created_at": 0.0, "crawl_session_id": "s",
-        "parent_job_id": None, "depth": 0, "max_depth": 1, "max_pages": 10,
+        "parent_job_id": None, "depth": 0, "score": 0.0, "max_depth": 1, "max_pages": 10,
         "allowed_domains": [], "generation": 0, "error": None,
     }
 
