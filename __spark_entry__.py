@@ -333,6 +333,60 @@ def q_t04_fingerprint(spark, sf_dir):
     )
 
 
+_T06_CASES = [
+    (1, "mail me at bob.smith+x@corp.example.co.uk or a@b.io thanks"),
+    (2, "call +1 (555) 123-4567 or 555-867-5309 x12"),
+    (3, "server 10.0.0.1 and 8.8.8.8; odd 999.999.999.999 stays an IP shape"),
+    (4, "mixed: eve@ex.org from 192.168.1.77 dialing 0800 555 0199 now"),
+    (5, "no pii at all in this perfectly clean sentence"),
+    (6, ""),
+]
+
+
+def q_t06_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone-like runs) as staged JVM-side
+    regex rewrite — the same staging replayed by the DuckDB oracle on the
+    shared Java∩RE2 regex subset. Stage-wise counts: phones counted on
+    the text AFTER email+IP redaction, so digit runs inside those never
+    double-count."""
+    from ares_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(_T06_CASES, "case_id int, text string")
+    return df.select("case_id", pii_scrub("text").alias("p")).select(
+        "case_id", "p.clean", "p.n_emails", "p.n_ips", "p.n_phones"
+    )
+
+
+def q_t07_repetition(spark, sf_dir):
+    """Within-document repetition gates (Gopher/MassiveText): duplicate
+    word-trigram fraction + most-frequent-bigram coverage, over the
+    documents table — the whole computation is array expressions inside
+    codegen, recomputed exactly by DuckDB list ops."""
+    from ares_spark.functions.text import repetition_metrics
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", repetition_metrics("text").alias("r")
+    ).select("doc_id", "r.dup_trigram_frac", "r.top_bigram_frac", "r.n_tokens")
+
+
+def q_d08_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (CCNet-style boilerplate removal) over
+    the documents table: corpus-wide line counts gate each trimmed
+    non-empty line; output is per-doc cleaned text + kept/dropped
+    counts, value-checked against a full SQL replay."""
+    from ares_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        _t(spark, sf_dir, "documents"), max_line_dups=1
+    ).select(
+        "doc_id",
+        F.sha2("clean_text", 256).alias("clean_sha"),
+        F.length("clean_text").alias("clean_len"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
 # --------------------------------------------------------------------------
 # D-series: deduplication
 # --------------------------------------------------------------------------
@@ -1110,6 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_quality_score": q_t02_quality_score,
         "t03_lang_id": q_t03_lang_id,
         "t04_fingerprint": q_t04_fingerprint,
+        "t06_pii_scrub": q_t06_pii_scrub,
+        "t07_repetition": q_t07_repetition,
+        "d08_line_dedup": q_d08_line_dedup,
         "d01_exact_dup_groups": q_d01_exact_dup_groups,
         "d02_minhash_lsh": q_d02_minhash_lsh,
         "d05_dedup_exact_keep": q_d05_dedup_exact_keep,
@@ -1364,6 +1421,70 @@ def oracle_sql() -> dict[str, str]:
             from (select doc_id, md5(s) as smd5 from sh)
             group by doc_id
         """,
+        "t06_pii_scrub": _t06_oracle(),
+        "t07_repetition": """
+            with d as (
+              select doc_id,
+                     [lower(t) for t in str_split_regex(trim(text), '\\s+')] as toks
+              from documents
+            ),
+            g as (
+              select doc_id, toks,
+                case when len(toks) >= 3
+                     then [array_to_string(toks[i:i+2], ' ')
+                           for i in generate_series(1, len(toks) - 2)]
+                     else [] end as tri,
+                case when len(toks) >= 2
+                     then [array_to_string(toks[i:i+1], ' ')
+                           for i in generate_series(1, len(toks) - 1)]
+                     else [] end as bi
+              from d
+            )
+            select doc_id,
+              case when len(tri) > 0
+                   then round(1 - len(list_distinct(tri)) / len(tri), 4)
+                   else 0.0 end as dup_trigram_frac,
+              case when len(toks) >= 2
+                   then round(list_max([len(list_filter(bi, z -> z = x))
+                                        for x in list_distinct(bi)])
+                              * 2.0 / len(toks), 4)
+                   else 0.0 end as top_bigram_frac,
+              len(toks) as n_tokens
+            from g
+        """,
+        "d08_line_dedup": """
+            with raw as (
+              select doc_id, string_split(text, chr(10)) as l from documents
+            ),
+            ln as (
+              select doc_id, unnest(generate_series(1, len(l))) as line_no, l
+              from raw
+            ),
+            lx as (
+              select doc_id, line_no, l[line_no] as line,
+                     trim(l[line_no]) as tline
+              from ln
+            ),
+            counts as (
+              select tline, count(*) as n_occ from lx
+              where tline <> '' group by tline
+            ),
+            kept as (
+              select doc_id, line_no, line,
+                     (tline = '' or n_occ <= 1) as keep
+              from lx left join counts using (tline)
+            )
+            select doc_id, sha256(clean) as clean_sha,
+                   length(clean) as clean_len, n_kept, n_dropped
+            from (
+              select doc_id,
+                coalesce(string_agg(case when keep then line end,
+                                    chr(10) order by line_no), '') as clean,
+                sum(case when keep then 1 else 0 end) as n_kept,
+                sum(case when keep then 0 else 1 end) as n_dropped
+              from kept group by doc_id
+            )
+        """,
         "d01_exact_dup_groups": """
             select md5(substr(text, 1, 60)) as text_hash,
                    count(*) as dup_count, min(doc_id) as keeper_id
@@ -1535,6 +1656,33 @@ def oracle_sql() -> dict[str, str]:
         # non-SQL-expressible (xxhash64 / seeded hyperplanes) → rows-only
         # driver check; semantics pinned in pytest.
     }
+
+
+def _t06_oracle() -> str:
+    """Real-SQL replay of the staged PII rewrite on the case table —
+    identical regexes (the Java∩RE2 subset), identical staging."""
+    from ares_spark.functions.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    cases = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _T06_CASES
+    )
+    # DuckDB single-quoted literals keep backslashes as-is — only quotes
+    # need escaping for the regex to arrive byte-identical
+    e, ip, ph = (r.replace("'", "''")
+                 for r in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE))
+    return f"""
+        with c(case_id, text) as (values {cases}),
+        s1 as (select case_id, text,
+                      regexp_replace(text, '{e}', '<EMAIL>', 'g') as t1
+               from c),
+        s2 as (select *, regexp_replace(t1, '{ip}', '<IP>', 'g') as t2 from s1)
+        select case_id,
+               regexp_replace(t2, '{ph}', '<PHONE>', 'g') as clean,
+               len(regexp_extract_all(text, '{e}')) as n_emails,
+               len(regexp_extract_all(t1, '{ip}')) as n_ips,
+               len(regexp_extract_all(t2, '{ph}')) as n_phones
+        from s2
+    """
 
 
 def _golden_oracle(name: str) -> str:

@@ -317,3 +317,122 @@ def doc_fingerprint64(col, n: int = 3) -> Column:
         return pd.Series(out, dtype="int64")
 
     return fp(F.col(col) if isinstance(col, str) else col)
+
+
+# ---- PII scrubbing (web-text pipeline hygiene) --------------------------------
+#
+# Patterns deliberately use only the regex subset where Java (Spark) and
+# RE2 (DuckDB) agree — no lookaround, no \s (Java includes \x0B, RE2
+# does not), explicit character classes — so the DuckDB oracle replays
+# the exact same staged rewrite.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# 8+ chars starting/ending in a digit, phone punctuation between; counted
+# AFTER emails and IPs are redacted so digit runs inside those never match
+PII_PHONE_RE = r"\+?[0-9][0-9 ().-]{6,}[0-9]"
+
+
+def pii_scrub(col) -> Column:
+    """struct(clean, n_emails, n_ips, n_phones): staged redaction —
+    emails → ``<EMAIL>``, then IPv4 literals → ``<IP>``, then phone-like
+    digit runs → ``<PHONE>`` — with each count taken against the text the
+    stage actually saw (the operational spec the oracle replays). All
+    JVM-side: three regexp_replace + three regexp_count, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    t1 = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return F.struct(
+        t3.alias("clean"),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )
+
+
+# ---- within-document repetition (Gopher/MassiveText-style) --------------------
+
+
+def repetition_metrics_expr(col) -> Column:
+    """Expression-tree SPEC of repetition_metrics (see below). The
+    per-element bigram count is O(distinct²) inside nested HOF lambdas —
+    measured ~50s for 500 docs, the deep-lambda slow path — so the
+    engine default is the Arrow pass; this stays as the cross-check
+    twin (value parity pinned in tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    n = F.size(toks)
+
+    def ngrams(k: int):
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tri = ngrams(3)
+    bi = ngrams(2)
+    dup_frac = F.when(
+        F.size(tri) > 0,
+        F.round(1.0 - F.size(F.array_distinct(tri)) / F.size(tri), 4),
+    ).otherwise(F.lit(0.0))
+
+    def _count_in(arr):
+        # closure factory: keep the inner lambda at arity 1 per element
+        return lambda x: F.size(F.filter(arr, lambda y: y == x))
+
+    top_bi = F.when(
+        F.size(bi) > 0,
+        F.array_max(F.transform(F.array_distinct(bi), _count_in(bi))),
+    ).otherwise(F.lit(0))
+    top_frac = F.when(
+        n >= 2, F.round(top_bi * 2.0 / n, 4)
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        dup_frac.alias("dup_trigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        n.alias("n_tokens"),
+    )
+
+
+def repetition_metrics(col) -> Column:
+    """struct(dup_trigram_frac, top_bigram_frac, n_tokens): the two
+    classic repetition gates for web text (Gopher/MassiveText) —
+
+    - dup_trigram_frac: 1 − distinct/total word trigrams (0 when fewer
+      than 3 tokens); near-1 means the document loops on itself
+    - top_bigram_frac: tokens covered by the single most frequent bigram,
+      2·max_count / n_tokens (0 when fewer than 2 tokens); boilerplate
+      pages repeat one phrase
+
+    One Arrow pass (Counter per doc), value-identical to
+    repetition_metrics_expr incl. Spark round semantics
+    (BigDecimal-of-repr, HALF_UP)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    @pandas_udf("struct<dup_trigram_frac:double,top_bigram_frac:double,n_tokens:int>")
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in texts:
+            toks = [w.lower() for w in _py_tokens(t)]
+            n = len(toks)
+            dup = 0.0
+            if n >= 3:
+                tri = [" ".join(toks[i:i + 3]) for i in range(n - 2)]
+                dup = r4(1.0 - len(set(tri)) / len(tri))
+            top = 0.0
+            if n >= 2:
+                bi = Counter(" ".join(toks[i:i + 2]) for i in range(n - 1))
+                top = r4(max(bi.values()) * 2.0 / n)
+            out.append({"dup_trigram_frac": dup, "top_bigram_frac": top,
+                        "n_tokens": n})
+        return pd.DataFrame(out)
+
+    return rep(F.col(col) if isinstance(col, str) else col)

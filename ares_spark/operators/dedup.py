@@ -319,3 +319,57 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_dups: int = 1,
+) -> DataFrame:
+    """Cross-document line-level dedup (the CCNet/RefinedWeb boilerplate
+    pass): a trimmed non-empty line is kept only while its corpus-wide
+    occurrence count is ≤ ``max_line_dups`` — nav bars, cookie banners
+    and footers repeated across a site vanish, unique prose stays.
+
+    Returns (id, clean_text, n_kept, n_dropped). Shuffle inventory at
+    corpus scale: one explode (O(lines)), one partial-aggregated groupBy
+    on xxhash64(line) (hot boilerplate lines combine map-side, so no
+    skew bomb), one hash join back, one per-doc window to reassemble —
+    every stage key-partitioned, nothing driver-side.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("tline", F.trim("line"))
+    lines = lines.withColumn("lhash", F.xxhash64("tline"))
+    counts = (
+        lines.filter(F.col("tline") != "")
+        .groupBy("lhash")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    kept = (
+        lines.join(counts, "lhash", "left")
+        .withColumn(
+            "keep",
+            (F.col("tline") == "") | (F.col("n_occ") <= max_line_dups),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("int")).alias("n_dropped"),
+        )
+    )

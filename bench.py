@@ -45,6 +45,8 @@ HEADLINE = [
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
     "d06_minhash_lsh_xx",
+    "d08_line_dedup",
+    "t07_repetition",
     "t05_fingerprint64",
     "s01_ann_bruteforce",
     "s02_ann_lsh",

@@ -220,3 +220,60 @@ def test_lang_id_pandas_matches_expression(spark):
     ).collect()
     for r in got:
         assert r.p == r.e, (r.doc_id, r.p, r.e)
+
+
+def test_repetition_arrow_matches_expression_spec(spark):
+    """The Arrow repetition pass is value-identical to the expression
+    twin (incl. Spark HALF_UP round semantics) on the corpus + edges."""
+    from ares_spark.functions.text import repetition_metrics, repetition_metrics_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    edge = spark.createDataFrame(
+        [(9001, "one"), (9002, "two words"), (9003, ""),
+         (9004, "a a a a a a a a"), (9005, "x y x y x y x y z")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit(None).cast("string"))
+    both = docs.select("doc_id", "text").unionByName(
+        edge.select("doc_id", "text")
+    )
+    got = both.select(
+        "doc_id",
+        repetition_metrics("text").alias("a"),
+        repetition_metrics_expr("text").alias("b"),
+    ).select("doc_id", "a.*", F.col("b.dup_trigram_frac").alias("ed"),
+             F.col("b.top_bigram_frac").alias("et"), F.col("b.n_tokens").alias("en"))
+    bad = got.filter(
+        (F.col("dup_trigram_frac") != F.col("ed"))
+        | (F.col("top_bigram_frac") != F.col("et"))
+        | (F.col("n_tokens") != F.col("en"))
+    ).collect()
+    assert bad == [], bad[:5]
+
+
+def test_line_dedup_semantics(spark):
+    """Boilerplate lines above the dup cap vanish, unique prose and
+    blank lines stay, counts reconcile."""
+    from ares_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Nav\nAlpha text\n\nFooter"), (2, "Nav\nBeta text\nFooter"),
+         (3, "Nav\nGamma only")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert got[1].clean_text == "Alpha text\n"
+    assert got[2].clean_text == "Beta text"
+    assert got[3].clean_text == "Gamma only"
+    assert (got[1].n_kept, got[1].n_dropped) == (2, 2)
+
+
+def test_pii_scrub_cases(spark):
+    from ares_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "a@b.io and 1.2.3.4 then +1 (555) 123-4567")],
+        "id int, text string",
+    )
+    r = df.select(pii_scrub("text").alias("p")).select("p.*").first()
+    assert r.clean == "<EMAIL> and <IP> then <PHONE>"
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
