@@ -369,6 +369,34 @@ def q_t07_repetition(spark, sf_dir):
     ).select("doc_id", "r.dup_trigram_frac", "r.top_bigram_frac", "r.n_tokens")
 
 
+_P01_FRACS = {"en": 0.5, "de": 0.25, "zh": 1.0}
+
+
+def q_p01_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus mixing: md5-bucket Bernoulli per
+    language stratum (en 50%, de 25%, zh 100%, others 0) — no RNG, no
+    sampleBy approximation, row-for-row reproducible at any scale; the
+    oracle replays the identical bucket math in SQL."""
+    from ares_spark.operators.pipeline import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), _P01_FRACS, "lang", "doc_id"
+    ).select("doc_id", "lang")
+
+
+def q_d09_contamination(spark, sf_dir):
+    """Benchmark-contamination flags (pre-training hygiene): docs sharing
+    any word 8-gram with the 'benchmark' (docs 0-4 verbatim) are
+    flagged — exact dup groups in the corpus guarantee real hits beyond
+    the benchmark docs themselves. Broadcast bench-gram semi-join; the
+    oracle replays it with SQL set ops."""
+    from ares_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bench = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return contamination_flags(docs, bench).orderBy("doc_id")
+
+
 def q_d08_line_dedup(spark, sf_dir):
     """Cross-document line dedup (CCNet-style boilerplate removal) over
     the documents table: corpus-wide line counts gate each trimmed
@@ -1167,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t06_pii_scrub": q_t06_pii_scrub,
         "t07_repetition": q_t07_repetition,
         "d08_line_dedup": q_d08_line_dedup,
+        "d09_contamination": q_d09_contamination,
+        "p01_stratified_sample": q_p01_stratified_sample,
         "d01_exact_dup_groups": q_d01_exact_dup_groups,
         "d02_minhash_lsh": q_d02_minhash_lsh,
         "d05_dedup_exact_keep": q_d05_dedup_exact_keep,
@@ -1422,6 +1452,37 @@ def oracle_sql() -> dict[str, str]:
             group by doc_id
         """,
         "t06_pii_scrub": _t06_oracle(),
+        "p01_stratified_sample": """
+            with b as (
+              select doc_id, lang,
+                ('0x' || substr(md5(doc_id::varchar || chr(31) || '42'), 1, 15))::bigint
+                  % 1000000 as bucket
+              from documents
+            )
+            select doc_id, lang from b
+            where bucket < cast(
+              (case lang when 'en' then 0.5 when 'de' then 0.25
+                         when 'zh' then 1.0 else 0.0 end) * 1000000 as int)
+        """,
+        "d09_contamination": f"""
+            with bench as (
+              select distinct unnest(list_distinct({_shingles_sql(n=8)})) as g
+              from documents where doc_id < 5
+            ),
+            grams as (
+              select doc_id, unnest(list_distinct({_shingles_sql(n=8)})) as g
+              from documents where doc_id < 200
+            ),
+            hits as (
+              select doc_id, count(*) as n_hits
+              from grams join bench using (g) group by doc_id
+            )
+            select d.doc_id, coalesce(h.n_hits, 0) as n_hits,
+                   coalesce(h.n_hits, 0) > 0 as contaminated
+            from (select doc_id from documents where doc_id < 200) d
+            left join hits h using (doc_id)
+            order by d.doc_id
+        """,
         "t07_repetition": """
             with d as (
               select doc_id,

@@ -373,3 +373,41 @@ def line_dedup(
             F.sum((~F.col("keep")).cast("int")).alias("n_dropped"),
         )
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check (the pre-training hygiene pass): a
+    document is contaminated if it shares ANY word ``ngram_n``-gram with
+    the benchmark corpus. Returns (id, n_hits, contaminated).
+
+    Scale shape: the benchmark is small by definition — its distinct
+    n-grams broadcast; documents stream through an explode + broadcast
+    semi-join + partial-aggregated count. Never a doc×bench cartesian,
+    never a driver collect of doc data."""
+    from ares_spark.functions.text import shingles
+
+    bench = (
+        benchmark.select(F.explode(F.array_distinct(shingles(bench_text_col, ngram_n))).alias("g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, ngram_n))).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

@@ -302,3 +302,36 @@ def scrape_batch(
             "changed", F.lit(True)
         )
     return enriched
+
+
+def hash_bucket_col(key_col, seed: int = 42, buckets: int = 1_000_000):
+    """Deterministic sampling bucket in [0, buckets): md5-derived so the
+    SAME bucket is computable in any engine (the DuckDB oracle replays
+    it) — reproducible across runs, partitions, and cluster sizes,
+    unlike rand()-based sampling."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(str(seed))))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(buckets)
+    ).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fracs: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified corpus mixing (the data-mixture step of a
+    training pipeline): keep each row iff its hash bucket falls under its
+    stratum's fraction. Pure column math — no shuffle, no RNG state, no
+    sampleBy approximation — and exactly reproducible at any scale or
+    partitioning, so a 100-TB mixture is re-derivable row-for-row."""
+    buckets = 1_000_000
+    bucket = hash_bucket_col(key_col, seed, buckets)
+    frac = F.lit(float(default_frac))
+    for value, f in sorted(fracs.items()):
+        frac = F.when(F.col(strata_col) == value, float(f)).otherwise(frac)
+    return df.filter(bucket < (frac * buckets).cast("int"))

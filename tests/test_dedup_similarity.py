@@ -277,3 +277,42 @@ def test_pii_scrub_cases(spark):
     r = df.select(pii_scrub("text").alias("p")).select("p.*").first()
     assert r.clean == "<EMAIL> and <IP> then <PHONE>"
     assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+
+
+def test_contamination_flags_semantics(spark):
+    """A doc sharing an 8-gram with the benchmark is flagged; novel text
+    is not; the benchmark docs themselves always hit."""
+    from ares_spark.operators.dedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "prefix words alpha beta gamma delta epsilon zeta eta theta tail"),
+         (2, "completely different content with no overlap whatsoever here now"),
+         (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in contamination_flags(docs, bench).collect()}
+    assert got == {0: True, 1: True, 2: False}
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    """Same seed → identical row set across arbitrary repartitioning;
+    different seed → different set; fracs 0 and 1 are exact."""
+    from ares_spark.operators.pipeline import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"en": 0.4, "fr": 1.0}
+    a = sorted(r.doc_id for r in stratified_sample(docs, fr, "lang", "doc_id").collect())
+    b = sorted(r.doc_id for r in stratified_sample(
+        docs.repartition(17), fr, "lang", "doc_id").collect())
+    assert a == b and a
+    c = sorted(r.doc_id for r in stratified_sample(
+        docs, fr, "lang", "doc_id", seed=7).collect())
+    assert a != c
+    n_fr = docs.filter("lang = 'fr'").count()
+    got_fr = stratified_sample(docs, fr, "lang", "doc_id").filter("lang='fr'").count()
+    assert got_fr == n_fr  # frac 1.0 keeps every row
+    assert stratified_sample(docs, {}, "lang", "doc_id").count() == 0
