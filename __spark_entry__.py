@@ -1036,6 +1036,37 @@ def q_c02_crawl_trace(spark, sf_dir):
     return visits.select("visit_pos", "url", "outcome").orderBy("visit_pos")
 
 
+def q_c05_training_mix(spark, sf_dir):
+    """The LLM-data pipeline END TO END, composed from the engine's own
+    operators: quality gate (Arrow pass, ≥0.5) → exact dedup keeper →
+    deterministic stratified language mix → per-language corpus stats.
+    One value-checked query proving the pieces compose; the oracle
+    replays every stage in SQL."""
+    from ares_spark.functions.text import quality_metrics, token_count
+    from ares_spark.operators.dedup import dedup_exact
+    from ares_spark.operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text", quality_metrics("text").quality.alias("q")
+    ).filter(F.col("q") >= 0.5)
+    kept = dedup_exact(scored)
+    mixed = stratified_sample(
+        kept, {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5},
+        "lang", "doc_id",
+    )
+    return (
+        mixed.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_c04_crawl_trace_retries(spark, sf_dir):
     """Deep crawl-trace parity (A17/A21/A22 interplay): depth 2 reaches the
     posts' /tag/* links, which miss the pages table (fetch errors), retry
@@ -1222,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c02_crawl_trace": q_c02_crawl_trace,
         "c03_extraction_fixtures": q_c03_extraction_fixtures,
         "c04_crawl_trace_retries": q_c04_crawl_trace_retries,
+        "c05_training_mix": q_c05_training_mix,
         "m01_image_decode_luma": q_m01_image_decode_luma,
         "m02_wav_decode_stats": q_m02_wav_decode_stats,
         "m03_png_decode_luma": q_m03_png_decode_luma,
@@ -1629,6 +1661,49 @@ def oracle_sql() -> dict[str, str]:
                                            order by cosine desc, vec_id) as rank
               from scored)
             where rank <= 5
+        """,
+        "c05_training_mix": """
+            with base as (
+              select doc_id, lang, text,
+                     length(text) as n,
+                     length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) as n_punct,
+                     str_split_regex(trim(text), '\\s+') as toks
+              from documents
+            ), ratios as (
+              select doc_id, lang, text, toks,
+                     case when n = 0 then 0.0 else n_punct::double / n end as punct_ratio,
+                     case when len(toks) = 0 then 0.0
+                          else len([t for t in toks if lower(t) in
+                            ('the','a','an','and','or','of','to','in','on','is','are',
+                             'was','it','that','this','for','with','as','at','by')])::double
+                               / len(toks) end as stopword_ratio,
+                     n
+              from base
+            ), scored as (
+              select doc_id, lang, toks,
+                     round(0.4 * least(n / 500.0, 1.0)
+                         + 0.3 * greatest(0.0, 1.0 - punct_ratio * 5.0)
+                         + 0.3 * least(stopword_ratio / 0.4, 1.0), 6) as q,
+                     md5(text) as th
+              from ratios
+            ), gated as (
+              select * from scored where q >= 0.5
+            ), kept as (
+              select * from (
+                select *, row_number() over (partition by th order by doc_id) as rn
+                from gated
+              ) where rn = 1
+            ), mixed as (
+              select * from kept
+              where ('0x' || substr(md5(doc_id::varchar || chr(31) || '42'), 1, 15))::bigint
+                      % 1000000
+                    < cast((case lang when 'en' then 0.8 when 'de' then 0.5
+                                      when 'fr' then 0.5 when 'es' then 0.5
+                                      when 'zh' then 0.5 else 0.0 end) * 1000000 as int)
+            )
+            select lang, count(*) as n_docs, sum(len(toks)) as total_tokens,
+                   round(avg(q), 4) as avg_quality
+            from mixed group by lang order by lang
         """,
         "c01_cleaner_fixtures": _c01_oracle(),
         # hash-variant queries: golden VALUES regenerated by
