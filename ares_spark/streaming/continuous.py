@@ -85,3 +85,59 @@ def host_rate_metrics(
             "fetches",
         )
     )
+
+
+def streaming_first_seen(
+    pages_stream: DataFrame,
+    key_col: str = "url",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Exactly-first-occurrence filter over an unbounded stream — the
+    URL-seen set as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per-key state holds the occurrence
+    count; only a key's first-ever row passes through, duplicates within
+    and across micro-batches are dropped. ``ttl_minutes`` expires idle
+    keys (processing-time timeout) so a recrawl horizon bounds state
+    size — at 10^10 keys the state store shards per key-group across
+    executors exactly like the batch engine's Bloom sidecars shard by
+    host. State survives restarts via the query checkpoint."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key string, warc_ts timestamp, n_dupes_dropped long"
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        prior = state.get[0] if state.exists else 0
+        rows = 0
+        first_ts = None
+        for pdf in pdfs:
+            if len(pdf) and prior == 0 and rows == 0:
+                first_ts = pdf["warc_ts"].iloc[0]
+            rows += len(pdf)
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60_000)
+        if prior == 0 and rows > 0:
+            state.update((rows,))
+            yield pd.DataFrame(
+                {"key": [key[0]], "warc_ts": [first_ts],
+                 "n_dupes_dropped": [rows - 1]}
+            )
+        else:
+            if state.hasTimedOut:
+                state.remove()  # TTL eviction: the key may be recrawled
+            elif rows:
+                state.update((prior + rows,))
+            yield pd.DataFrame({"key": [], "warc_ts": [], "n_dupes_dropped": []})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        pages_stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            first_seen, out_schema, "n long", "append", timeout
+        )
+    )

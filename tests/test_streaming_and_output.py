@@ -81,3 +81,47 @@ def test_output_formats(spark, tmp_path):
     assert back.count() == 2 and "tags" in back.columns
     t = to_table(df)
     assert "name" in t and "+--" in t
+
+
+def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState URL-seen: first occurrence passes, dupes
+    drop WITHIN a micro-batch and ACROSS micro-batches (state persists
+    between triggers); dupe counts reported."""
+    import pandas as pd
+
+    from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
+    from ares_spark.streaming.continuous import streaming_first_seen
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def batch(name, urls):
+        rows = [(u, EPOCH, b"<html>x</html>", None, "en") for u in urls]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    # batch files become micro-batches via maxFilesPerTrigger=1 below
+    batch("b1", ["https://s.org/a", "https://s.org/b", "https://s.org/a"])
+    batch("b2", ["https://s.org/b", "https://s.org/c"])
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.key: r.n_dupes_dropped for r in spark.read.parquet(out_dir).collect()}
+    # a: first in b1 (1 dupe inside the batch); b: first in b1, its b2
+    # re-occurrence is dropped by persisted state; c: first in b2
+    assert got == {"https://s.org/a": 1, "https://s.org/b": 0, "https://s.org/c": 0}
