@@ -369,6 +369,48 @@ def q_t07_repetition(spark, sf_dir):
     ).select("doc_id", "r.dup_trigram_frac", "r.top_bigram_frac", "r.n_tokens")
 
 
+def q_a20b_score_priority(spark, sf_dir):
+    """A20 with the north_rule's SCORE half: host-RR where ``value`` is
+    the priority — within each host round, higher score claims first,
+    depth (ts bucket) still dominates. Runs through the ENGINE's
+    order_host_rr; the oracle replays the window algebra in SQL."""
+    from ares_spark.crawl.frontier import order_host_rr
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("host"),
+        F.col("event_id").alias("created_seq"),
+        F.lit(None).cast("double").alias("next_retry_at"),
+        (F.dayofmonth("ts") % 3).alias("depth"),
+        F.round("value", 2).alias("score"),
+    )
+    return (
+        order_host_rr(e)
+        .filter(F.col("claim_pos") <= 80)
+        .select("claim_pos", "host", "created_seq", "depth", "score")
+    )
+
+
+_A20B_ORACLE = """
+    with e as (
+      select event_type as host, event_id as created_seq,
+             (extract(day from ts) % 3) as depth,
+             round(value, 2) as score
+      from events
+    ),
+    ranked as (
+      select *, row_number() over (
+        partition by host
+        order by depth asc, score desc nulls last, created_seq asc
+      ) as host_rank
+      from e
+    )
+    select row_number() over (order by host_rank, host, created_seq) as claim_pos,
+           host, created_seq, depth, score
+    from ranked
+    qualify claim_pos <= 80
+"""
+
+
 _P01_FRACS = {"en": 0.5, "de": 0.25, "zh": 1.0}
 
 
@@ -1219,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_seen_antijoin": q_a16_seen_antijoin,
         "a17_budget_cap": q_a17_budget_cap,
         "a20_priority_frontier": q_a20_priority_frontier,
+        "a20b_score_priority": q_a20b_score_priority,
         "t01_token_count": q_t01_token_count,
         "t02_quality_score": q_t02_quality_score,
         "t03_lang_id": q_t03_lang_id,
@@ -1484,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
             group by doc_id
         """,
         "t06_pii_scrub": _t06_oracle(),
+        "a20b_score_priority": _A20B_ORACLE,
         "p01_stratified_sample": """
             with b as (
               select doc_id, lang,
