@@ -1078,6 +1078,26 @@ def q_c02_crawl_trace(spark, sf_dir):
     return visits.select("visit_pos", "url", "outcome").orderBy("visit_pos")
 
 
+def q_s03_ann_ivf(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer scale path next to s02's LSH):
+    seeded k-means on a bounded deterministic sample → inverted lists →
+    nprobe-of-16 probing → exact re-rank. Deterministic end to end;
+    golden recall-gated vs brute force (uniform-random embeddings are
+    IVF's worst case — see tools/gen_scale_goldens.py)."""
+    from ares_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_ann_topk(
+        corpus, queries, dim=64, k=5, n_centroids=16, nprobe=8
+    ).select("query_id", "vec_id", "rank", F.round("cosine", 4).alias("cos4"))
+
+
 def q_c05_training_mix(spark, sf_dir):
     """The LLM-data pipeline END TO END, composed from the engine's own
     operators: quality gate (Arrow pass, ≥0.5) → exact dedup keeper →
@@ -1292,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a29_output_format": q_a29_output_format,
         "s01_ann_bruteforce": q_s01_ann_bruteforce,
         "s02_ann_lsh": q_s02_ann_lsh,
+        "s03_ann_ivf": q_s03_ann_ivf,
         "c01_cleaner_fixtures": q_c01_cleaner_fixtures,
         "c02_crawl_trace": q_c02_crawl_trace,
         "c03_extraction_fixtures": q_c03_extraction_fixtures,
@@ -1760,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "d04_simhash": _golden_oracle("d04_simhash"),
         "d06_minhash_lsh_xx": _golden_oracle("d06_minhash_lsh_xx"),
         "s02_ann_lsh": _golden_oracle("s02_ann_lsh"),
+        "s03_ann_ivf": _golden_oracle("s03_ann_ivf"),
         "a24_cache_semantics": _case_oracle(
             [("u1", "cache", True, False), ("u2", "cache", True, True),
              ("u3", "fresh", True, True), ("u4", "fresh", True, True)],

@@ -195,3 +195,116 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# ---- IVF (inverted-file) ANN — the other scale path the brief names ----------
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Coarse quantizer fit: Lloyd's k-means on a BOUNDED deterministic
+    sample (lowest ``sample`` ids — reproducible regardless of
+    partitioning), driver-side numpy. At 10^9 vectors the sample cap
+    keeps the fit O(sample·k·iters) and the driver holds k·dim floats;
+    the full corpus never leaves the executors. Returns a (k, dim)
+    numpy array of L2-normalized centroids (cosine assignment = argmax
+    dot against normalized centroids)."""
+    import numpy as np
+
+    pts = np.stack([
+        np.asarray(r[vec_col], dtype=np.float64)
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    ])
+    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = pts[rng.choice(len(pts), size=min(n_centroids, len(pts)), replace=False)]
+    for _ in range(iters):
+        sims = pts @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = pts[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def _centroid_assign_col(spark, vec_col, centroids, top: int = 1):
+    """array<int> of the ``top`` nearest centroid ids per vector — one
+    numpy matmul per Arrow batch against the broadcast centroid matrix."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        C = bc.value
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ C.T
+        order = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign(vec_col)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → corpus bucketed by nearest
+    centroid (the inverted file) → each query probes its ``nprobe``
+    nearest centroids and exact-cosine re-ranks ONLY those lists.
+
+    The other classic ANN scale shape next to LSH (lsh_ann_topk): cost
+    per query ≈ nprobe/n_centroids of the corpus, tunable recall via
+    nprobe. Centroids broadcast (k·dim floats); corpus assignment is one
+    Arrow matmul pass; the candidate join keys on centroid id so the
+    shuffle tracks list occupancy. Deterministic end to end (seeded fit
+    on a bounded deterministic sample)."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(
+        corpus, dim, n_centroids, sample, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    inv = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(_centroid_assign_col(spark, F.col(vec_col), cents, top=1)).alias("__c"),
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            _centroid_assign_col(spark, F.col(vec_col), cents, top=nprobe)
+        ).alias("__c"),
+    )
+    cand = inv.join(F.broadcast(probes), "__c").dropDuplicates([query_id_col, id_col])
+    scored = cand.withColumn("cosine", cosine(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

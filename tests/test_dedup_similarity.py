@@ -316,3 +316,23 @@ def test_stratified_sample_deterministic_and_exact(spark):
     got_fr = stratified_sample(docs, fr, "lang", "doc_id").filter("lang='fr'").count()
     assert got_fr == n_fr  # frac 1.0 keeps every row
     assert stratified_sample(docs, {}, "lang", "doc_id").count() == 0
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF ANN: recall >= 0.7 vs brute force on the (worst-case,
+    cluster-free) random corpus; same seed → identical result set."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.filter("vec_id >= 5")
+    from ares_spark.operators.similarity import ivf_ann_topk
+
+    a = {(r.query_id, r.vec_id) for r in
+         ivf_ann_topk(c, q, dim=64, k=5, n_centroids=16, nprobe=8).collect()}
+    b = {(r.query_id, r.vec_id) for r in
+         ivf_ann_topk(c.repartition(13), q, dim=64, k=5, n_centroids=16,
+                      nprobe=8).collect()}
+    assert a == b
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(c, q, k=5).collect()}
+    assert len(a & exact) / len(exact) >= 0.7

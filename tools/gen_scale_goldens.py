@@ -176,12 +176,46 @@ def gen_s02():
             "recall_vs_bruteforce": recall}
 
 
+def gen_s03():
+    """Engine-output golden for IVF ANN, recall-gated like s02. On this
+    corpus recall ~0.76: uniform-random embeddings are IVF's worst case
+    (no cluster structure, the quantizer's premise) — the gate is 0.7
+    here and documented as such; real embedding corpora cluster."""
+    from ares_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    got = entry.q_s03_ann_ivf(spark, SF_DIR).collect()
+    rows = [[int(r.query_id), int(r.vec_id), int(r.rank), float(r.cos4)] for r in got]
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"select vec_id, embedding from read_parquet('{SF_DIR}/embeddings.parquet') "
+        "order by vec_id"
+    ).fetchall()
+    norms = {v: np.array(e, dtype=np.float64) for v, e in emb}
+    norms = {v: e / np.linalg.norm(e) for v, e in norms.items()}
+    hits = total = 0
+    for q in range(5):
+        cos = {v: float(norms[q] @ n) for v, n in norms.items() if v >= 5}
+        true_top = {v for v, _ in sorted(cos.items(), key=lambda kv: -kv[1])[:5]}
+        got_top = {r[1] for r in rows if r[0] == q}
+        hits += len(true_top & got_top)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.7, f"s03 golden rejected: recall {recall} vs brute force"
+    return {"columns": "query_id, vec_id, rank, cos4", "rows": rows,
+            "recall_vs_bruteforce": recall}
+
+
 def main():
     goldens = {
         "t05_fingerprint64": gen_t05(),
         "d04_simhash": gen_d04(),
         "d06_minhash_lsh_xx": gen_d06(),
         "s02_ann_lsh": gen_s02(),
+        "s03_ann_ivf": gen_s03(),
     }
     OUT.write_text(json.dumps(goldens, indent=1))
     for k, v in goldens.items():
