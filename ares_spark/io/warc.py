@@ -217,20 +217,20 @@ CDX_SCHEMA = T.StructType(
 
 
 def read_cdx(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a CDXJ index file (lines of ``urlkey timestamp {json}``,
-    gzipped or plain) into (warc_file, offset, length) entries."""
-    import json as _json
-
-    opener = gzip.open if path.endswith(".gz") else open
-    rows = []
-    with opener(path, "rt") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            meta = _json.loads(line.split(" ", 2)[2])
-            rows.append((meta["filename"], int(meta["offset"]), int(meta["length"])))
-    return spark.createDataFrame(rows, CDX_SCHEMA)
+    """Parse CDXJ index file(s) (lines of ``urlkey timestamp {json}``,
+    gzipped or plain — spark.read.text decompresses .gz transparently)
+    into (warc_file, offset, length) entries. DISTRIBUTED: a Common
+    Crawl cdx shard runs to a gigabyte, so the lines never pass through
+    the driver — the JSON tail parses JVM-side per partition."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    # the json object runs from the FIRST '{' to end of line (the urlkey/
+    # timestamp prefix never contains one)
+    j = F.expr("substring(value, instr(value, '{'))")
+    return lines.select(
+        F.get_json_object(j, "$.filename").alias("warc_file"),
+        F.get_json_object(j, "$.offset").cast("long").alias("offset"),
+        F.get_json_object(j, "$.length").cast("long").alias("length"),
+    )
 
 
 def read_warc_cdx(
