@@ -335,24 +335,30 @@ def line_dedup(
     Returns (id, clean_text, n_kept, n_dropped). Shuffle inventory at
     corpus scale: one explode (O(lines)), one partial-aggregated groupBy
     on xxhash64(line) (hot boilerplate lines combine map-side, so no
-    skew bomb), one hash join back, one per-doc window to reassemble —
-    every stage key-partitioned, nothing driver-side.
+    skew bomb), then a join against ONLY the over-the-cap line set —
+    bounded by total_lines / max_line_dups, so AQE broadcasts it on
+    typical corpora and the hot-line join skew never materializes (AQE
+    skew-join is the backstop when it does) — and one per-doc window to
+    reassemble. Nothing driver-side.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     ).withColumn("tline", F.trim("line"))
     lines = lines.withColumn("lhash", F.xxhash64("tline"))
-    counts = (
+    frequent = (
         lines.filter(F.col("tline") != "")
         .groupBy("lhash")
         .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > max_line_dups)
+        .select("lhash")
+        .withColumn("__freq", F.lit(True))
     )
     kept = (
-        lines.join(counts, "lhash", "left")
+        lines.join(frequent, "lhash", "left")
         .withColumn(
             "keep",
-            (F.col("tline") == "") | (F.col("n_occ") <= max_line_dups),
+            (F.col("tline") == "") | F.col("__freq").isNull(),
         )
     )
     return (
