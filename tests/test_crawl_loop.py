@@ -326,3 +326,69 @@ def test_robots_from_corpus(spark, tmp_path):
     assert "https://a.example.org/public" in visited
     assert "https://b.example.org/open" in visited  # no robots -> allowed
     assert "https://a.example.org/private/x" not in visited
+
+
+def test_resume_equals_uninterrupted_across_all_state_layers(
+    spark, site, tmp_path_factory
+):
+    """Kill-and-resume under EVERY round-3 state layer active at an
+    aggressive cadence — frontier compaction, extractions_latest
+    compaction, append-log run compaction, Bloom sidecars — and require
+    the resumed run to equal the uninterrupted one on every persisted
+    table: frontier full state, visits, url_seen set, latest extraction
+    per url, and the resolved extractions_latest state."""
+    import json
+    from pathlib import Path
+
+    from ares_spark.crawl.checkpoint import LatestStateLog
+
+    cfg = CrawlConfig(schema_spec="blog@latest", max_depth=2, max_retries=1,
+                      use_bloom=True, bloom_min_seen=2,
+                      bloom_capacity_per_shard=5000,
+                      compact_interval=2, max_generations=20)
+    full_ckpt = str(tmp_path_factory.mktemp("al_full"))
+    full = run_crawl(spark, site, [SEED], full_ckpt, cfg, session_id="s")
+
+    part_ckpt = str(tmp_path_factory.mktemp("al_part"))
+    cfg2 = CrawlConfig(**{**cfg.__dict__, "max_generations": 2})
+    run_crawl(spark, site, [SEED], part_ckpt, cfg2, session_id="s")
+    cfg_path = Path(part_ckpt) / "config.json"
+    meta = json.loads(cfg_path.read_text())
+    meta["cfg"]["max_generations"] = 20
+    cfg_path.write_text(json.dumps(meta))
+    resumed = resume_crawl(spark, site, part_ckpt)
+    assert resumed["generation"] == full["generation"]
+    g = full["generation"]
+
+    def snap(ck):
+        store = SnapshotStore(ck)
+        frontier = sorted(
+            (r.url, r.status, r.retry_count, r.created_seq)
+            for r in FrontierLog(store, 2).read_full(spark, g).collect()
+        )
+        seen = sorted(r.url for r in store.read_all_batches(spark, "url_seen").collect())
+        ext = store.read_all_batches(spark, "extractions")
+        from ares_spark.operators.pipeline import latest_per_key
+
+        ext_latest = sorted(
+            (r.url, r.data_hash)
+            for r in latest_per_key(ext, ["url"], order_col="generation",
+                                    tiebreak="claim_pos").collect()
+        )
+        elog = LatestStateLog(store, "extractions_latest", ["url"],
+                              tiebreak_cols=["claim_pos"], compact_interval=2)
+        state = sorted(
+            (r.url, r.data_hash) for r in elog.read_latest(spark, g).collect()
+        )
+        return frontier, seen, ext_latest, state
+
+    f_full, s_full, e_full, st_full = snap(full_ckpt)
+    f_res, s_res, e_res, st_res = snap(part_ckpt)
+    assert f_full == f_res
+    assert s_full == s_res
+    assert e_full == e_res
+    assert st_full == st_res
+    # the maintained state table agrees with a from-scratch recompute of
+    # latest-per-url over the raw extraction log — on both checkpoints
+    assert st_full == e_full and st_res == e_res
+    assert _visits(spark, full_ckpt) == _visits(spark, part_ckpt)
