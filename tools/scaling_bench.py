@@ -90,28 +90,26 @@ def main() -> None:
     }
     (REPO / "BENCH_SCALING.json").write_text(json.dumps(summary, indent=1))
 
-    md = f"""# BENCH — north-star throughput + scaling evidence
-
-Workload: the full crawl extraction pipeline (read pages parquet →
-clean + link discovery in one html parse → sha256 content hash →
-distinct-content extraction → schema validation → groundedness →
-data hash) over {N_URLS:,} deterministic synthetic Common-Crawl-style
-pages (~200 hosts, 40% hot-host skew), identical input parquet for both
-runs. Sandbox protocol for the north_rule's N → 4N executor criterion:
-two parallelism levels in separate JVMs on the same machine.
-
-| cluster size | wall (s) | URLs/sec |
+    # rewrite ONLY the scaling table inside BENCH.md (between the markers
+    # below) — an earlier version replaced the whole file and destroyed
+    # the curated cross-round tables
+    table = f"""| cluster size | wall (s) | URLs/sec |
 |---|---|---|
 | local[{n}] (N) | {results[n]["pipeline_sec"]} | {tp_n} |
 | local[{n4}] (4N) | {results[n4]["pipeline_sec"]} | {tp_4n} |
 
-**Scaling efficiency (throughput_4N / (4 x throughput_N)) = {eff:.3f}**
-(north_rule requires >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+**Scaling efficiency (throughput_4N / (4 x throughput_N)) = {eff:.3f}**"""
+    bench_md = REPO / "BENCH.md"
+    if bench_md.exists():
+        import re as _re
 
-Reproduce: `python tools/scaling_bench.py {N_URLS}`
-Full headline-query bench: `python bench.py` (see BENCH_r*.json).
-"""
-    (REPO / "BENCH.md").write_text(md)
+        txt = bench_md.read_text()
+        new, count = _re.subn(
+            r"\| cluster size \| wall \(s\) \| URLs/sec \|.*?"
+            r"\*\*Scaling efficiency [^*]+\*\*",
+            table, txt, count=1, flags=_re.DOTALL,
+        )
+        bench_md.write_text(new if count else txt + "\n" + table + "\n")
     print(json.dumps(summary))
 
 
