@@ -1000,6 +1000,52 @@ def q_m03_png_decode_luma(spark, sf_dir):
     )
 
 
+def _m04_frames():
+    # construction-known corpus: 2 videos, distinct frame bytes, 10/4 fps
+    return {
+        "v0": ([f"v0-frame-{i:02d}".encode() * 2 for i in range(10)], 10),
+        "v1": ([f"v1-{i}".encode() * 5 for i in range(4)], 4),
+    }
+
+
+def q_m04_mp4_frame_sample(spark, sf_dir):
+    """REAL MP4 container parsing (ISO 14496-12 box walk + stsz/stco/stts
+    sample table — multimodal.parse_mp4_samples): frame-sampling emits
+    the exact codec payload bytes at sample-table timestamps. Oracle =
+    the construction-known frames (codec DECODE stays sandbox-stubbed;
+    the container layer is what a GPU decode stage consumes)."""
+    from ares_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_mp4_stub, sample_video_frames,
+    )
+
+    rows = []
+    for mid, (frames, fps) in _m04_frames().items():
+        meta = {"mime": "video/mp4", "width": None, "height": None,
+                "n_channels": None, "duration_ms": len(frames) * 1000 // fps,
+                "sample_rate": None}
+        rows.append((mid, "video", encode_mp4_stub(frames, fps=fps), meta))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return sample_video_frames(media, every_ms=300).select(
+        "media_id", "frame_idx", "ts_ms", F.sha2("frame", 256).alias("frame_sha")
+    )
+
+
+def _m04_oracle() -> str:
+    import hashlib
+
+    rows = []
+    for mid, (frames, fps) in _m04_frames().items():
+        step = 1000 // fps
+        next_emit, k = 0, 0
+        for i, f in enumerate(frames):
+            ts = i * step
+            if ts >= next_emit:
+                rows.append((mid, k, ts, hashlib.sha256(f).hexdigest()))
+                k += 1
+                next_emit = ts + 300
+    return _case_oracle(rows, "media_id, frame_idx, ts_ms, frame_sha")
+
+
 _M03_ORACLE = """
     with imgs(media_id, w, h, c) as (values
       ('p0000', 20, 14, 42), ('p0001', 27, 23, 43), ('p0002', 34, 14, 44),
@@ -1321,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_image_decode_luma": q_m01_image_decode_luma,
         "m02_wav_decode_stats": q_m02_wav_decode_stats,
         "m03_png_decode_luma": q_m03_png_decode_luma,
+        "m04_mp4_frame_sample": q_m04_mp4_frame_sample,
         "w01_warc_source": q_w01_warc_source,
     }
 
@@ -1793,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "m01_image_decode_luma": _M01_ORACLE,
         "m02_wav_decode_stats": _M02_ORACLE,
         "m03_png_decode_luma": _M03_ORACLE,
+        "m04_mp4_frame_sample": _m04_oracle(),
         "w01_warc_source": _w01_oracle(),
         "d07_embedding_cosine_pairs": """
             with s as (select vec_id, embedding::double[] as e from embeddings),

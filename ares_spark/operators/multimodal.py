@@ -391,9 +391,21 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                blob = bytes(payload)
+                if blob[4:8] == b"ftyp":
+                    # REAL ISO BMFF container: frame boundaries and timing
+                    # from the moov sample table; sampled at every_ms by
+                    # real timestamps. Codec payload stays opaque (the
+                    # downstream GPU decode stage's input).
+                    next_emit, k = 0, 0
+                    for ts, _dur, frame in parse_mp4_samples(blob):
+                        if ts >= next_emit:
+                            rows.append((mid, k, ts, frame))
+                            k += 1
+                            next_emit = ts + every_ms
+                    continue
                 if STRICT:
                     raise NotImplementedError("video decode requires ffmpeg; not in sandbox")
-                blob = bytes(payload)
                 dur = int(meta["duration_ms"] or 0) if meta is not None else 0
                 n_frames = max(len(blob) // FRAME, 1)
                 frame_ms = max(dur // n_frames, 1) if dur else every_ms
@@ -512,3 +524,145 @@ def synth_media(spark, n: int = 30, seed: int = 42) -> DataFrame:
         }
         rows.append((f"m{i:04d}", kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# -- MP4 container (ISO BMFF) — real box walk + sample table -------------------
+#
+# Codec DECODE (h264 etc.) needs ffmpeg and stays sandbox-stubbed, but the
+# CONTAINER is a public spec (ISO 14496-12) parseable with struct alone:
+# frame boundaries, sizes, offsets and timing all live in the moov sample
+# table (stsz/stco/stts). Frame-sampling therefore extracts the REAL codec
+# payload bytes per frame — what a downstream GPU decode stage would
+# consume — instead of fixed-width fake slices.
+
+
+def _iter_boxes(blob: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = _struct.unpack_from(">I", blob, pos)
+        typ = blob[pos + 4:pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = _struct.unpack_from(">Q", blob, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} at {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _find_box(blob: bytes, path: list[bytes], start: int, end: int):
+    for typ, body, box_end in _iter_boxes(blob, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return body, box_end
+            return _find_box(blob, path[1:], body, box_end)
+    return None
+
+
+def parse_mp4_samples(blob: bytes) -> list[tuple[int, int, bytes]]:
+    """ISO BMFF → [(ts_ms, duration_ms, frame_bytes)] from the first
+    track's sample table (stsz sizes + stco chunk offsets + stts timing;
+    one-sample-per-chunk layouts and the common single-entry stts). Raises
+    ValueError on malformed boxes — a corrupt container must be loud."""
+    if blob[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp)")
+    stbl = _find_box(blob, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(blob))
+    if stbl is None:
+        raise ValueError("MP4 missing moov/trak sample table")
+    s, e = stbl
+    boxes = {typ: (body, box_end) for typ, body, box_end in _iter_boxes(blob, s, e)}
+    for need in (b"stsz", b"stco", b"stts"):
+        if need not in boxes:
+            raise ValueError(f"MP4 sample table missing {need.decode()}")
+    # stsz: version/flags, sample_size (0 = per-sample table), count, sizes
+    b, _ = boxes[b"stsz"]
+    fixed, count = _struct.unpack_from(">II", blob, b + 4)
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(_struct.unpack_from(f">{count}I", blob, b + 12))
+    )
+    b, _ = boxes[b"stco"]
+    (n_chunks,) = _struct.unpack_from(">I", blob, b + 4)
+    offsets = list(_struct.unpack_from(f">{n_chunks}I", blob, b + 8))
+    # stts: entries of (sample_count, sample_delta) in timescale units
+    b, _ = boxes[b"stts"]
+    (n_stts,) = _struct.unpack_from(">I", blob, b + 4)
+    deltas: list[int] = []
+    for i in range(n_stts):
+        cnt, delta = _struct.unpack_from(">II", blob, b + 8 + 8 * i)
+        deltas += [delta] * cnt
+    mdhd = _find_box(blob, [b"moov", b"trak", b"mdia", b"mdhd"], 0, len(blob))
+    timescale = 1000
+    if mdhd is not None:
+        version = blob[mdhd[0]]
+        timescale = _struct.unpack_from(
+            ">I", blob, mdhd[0] + (20 if version else 12)
+        )[0] or 1000
+    out = []
+    ts_units = 0
+    for i in range(count):
+        off = offsets[i] if i < len(offsets) else (
+            offsets[-1] + sum(sizes[len(offsets) - 1:i])
+        )
+        frame = blob[off:off + sizes[i]]
+        if len(frame) != sizes[i]:
+            raise ValueError("MP4 sample extends past end of file")
+        delta = deltas[i] if i < len(deltas) else (deltas[-1] if deltas else 0)
+        out.append((ts_units * 1000 // timescale, delta * 1000 // timescale, frame))
+        ts_units += delta
+    return out
+
+
+def encode_mp4_stub(frames: list[bytes], fps: int = 10) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov (one video trak with
+    stsz/stco/stts/stsc/stsd) + mdat carrying the frame payloads — the
+    fixture muxer for the real container parser. Codec payloads are
+    opaque bytes by design (no encoder in the sandbox)."""
+    timescale = 1000
+    delta = timescale // fps
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    # mdat offsets depend on moov size: build moov with placeholder chunk
+    # offsets, then rewrite once sizes are known (two-pass, same bytes)
+    def build_moov(first_off: int) -> bytes:
+        stsd = box(b"stsd", _struct.pack(">II", 0, 1) + box(b"rawv", b"\x00" * 78))
+        stts = box(b"stts", _struct.pack(">III", 0, 1, 0)[:8]
+                   + _struct.pack(">II", len(frames), delta))
+        stsc = box(b"stsc", _struct.pack(">II", 0, 1)
+                   + _struct.pack(">III", 1, 1, 1))
+        stsz = box(b"stsz", _struct.pack(">III", 0, 0, len(frames))
+                   + b"".join(_struct.pack(">I", len(f)) for f in frames))
+        offs, acc = [], first_off
+        for f in frames:
+            offs.append(acc)
+            acc += len(f)
+        stco = box(b"stco", _struct.pack(">II", 0, len(frames))
+                   + b"".join(_struct.pack(">I", o) for o in offs))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8) + stbl)
+        mdhd = box(b"mdhd", _struct.pack(">IIIII", 0, 0, 0, timescale,
+                                         delta * len(frames))
+                   + _struct.pack(">HH", 0x55C4, 0))
+        hdlr = box(b"hdlr", _struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00")
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = box(b"tkhd", _struct.pack(">II", 7, 0) + b"\x00" * 72)
+        trak = box(b"trak", tkhd + mdia)
+        mvhd = box(b"mvhd", _struct.pack(">IIIII", 0, 0, 0, timescale,
+                                         delta * len(frames)) + b"\x00" * 76)
+        return box(b"moov", mvhd + trak)
+
+    moov_size = len(build_moov(0))
+    first_off = len(ftyp) + moov_size + 8  # + mdat header
+    moov = build_moov(first_off)
+    assert len(moov) == moov_size
+    return ftyp + moov + box(b"mdat", mdat_payload)
