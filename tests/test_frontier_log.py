@@ -253,3 +253,31 @@ def test_compact_log_random_walk_preserves_multiset(spark, tmp_path, seed):
         df = store.read_all_batches(spark, "log")
         got = sorted(r.v for r in df.collect()) if df is not None else []
         assert got == sorted(expect), (seed, g)
+
+
+def test_compact_log_crash_mid_merge_never_double_reads(spark, tmp_path):
+    """Simulated crash between 'write merged run' and 'delete sources':
+    both the run dir and its source batch dirs exist on disk — reads must
+    skip the covered sources, and the next compaction cleans up."""
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    store = SnapshotStore(tmp_path)
+    for g in range(4):
+        store.append_batch(
+            spark.createDataFrame([(g, f"row{g}")], "generation int, v string"),
+            "log", g,
+        )
+    # hand-write a merged run covering g0-g1 WITHOUT deleting the sources
+    src = [str(tmp_path / "log" / f"batch-g000{g}") for g in (0, 1)]
+    spark.read.parquet(*src).write.mode("overwrite").parquet(
+        str(tmp_path / "log" / "run-g0000-g0001")
+    )
+    got = sorted(r.v for r in store.read_all_batches(spark, "log").collect())
+    assert got == ["row0", "row1", "row2", "row3"]  # no duplicates
+    live = {p.name for _, _, p in store._log_dirs("log")}
+    assert "run-g0000-g0001" in live
+    assert "batch-g0000" not in live and "batch-g0001" not in live
+    # compaction over the leftover state still converges and stays exact
+    store.compact_log(spark, "log", 3, max_runs=1)
+    got2 = sorted(r.v for r in store.read_all_batches(spark, "log").collect())
+    assert got2 == got
