@@ -29,6 +29,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _committed(p: Path) -> bool:
+    """A parquet dir is live only once Spark's job commit published its
+    ``_SUCCESS`` marker. A crash DURING a merged-run/base write leaves a
+    partial dir WITHOUT the marker; treating it as live would shadow the
+    intact source dirs (covered-span dedup / latest-base-wins) and
+    silently drop rows on resume. Partial dirs are skipped here and
+    overwritten by the re-run (every writer uses mode("overwrite"))."""
+    return p.is_dir() and (p / "_SUCCESS").exists()
+
+
 class SnapshotStore:
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
@@ -86,11 +96,11 @@ class SnapshotStore:
         base = self.root / table
         spans = []
         for p in base.glob("batch-g*"):
-            if p.is_dir():
+            if _committed(p):
                 n = int(p.name.rsplit("batch-g", 1)[1])
                 spans.append((n, n, p))
         for p in base.glob("run-g*"):
-            if p.is_dir():
+            if _committed(p):
                 lo, hi = p.name[len("run-g"):].split("-g")
                 spans.append((int(lo), int(hi), p))
         spans.sort(key=lambda s: (s[0], -(s[1])))
@@ -191,13 +201,15 @@ class FrontierLog:
 
     def _base_gens(self) -> list[int]:
         return sorted(
-            int(p.name.split("base-g")[1]) for p in self.dir.glob("base-g*") if p.is_dir()
+            int(p.name.split("base-g")[1])
+            for p in self.dir.glob("base-g*")
+            if _committed(p)
         )
 
     def _delta_dirs(self, lo: int, hi: int) -> list[str]:
         out = []
         for p in sorted(self.dir.glob("batch-g*")):
-            if p.is_dir():
+            if _committed(p):
                 n = int(p.name.split("batch-g")[1])
                 if lo <= n <= hi:
                     out.append(str(p))
@@ -293,13 +305,15 @@ class LatestStateLog:
 
     def _base_gens(self) -> list[int]:
         return sorted(
-            int(p.name.split("base-g")[1]) for p in self.dir.glob("base-g*") if p.is_dir()
+            int(p.name.split("base-g")[1])
+            for p in self.dir.glob("base-g*")
+            if _committed(p)
         )
 
     def _delta_dirs(self, lo: int, hi: int) -> list[str]:
         out = []
         for p in sorted(self.dir.glob("batch-g*")):
-            if p.is_dir():
+            if _committed(p):
                 n = int(p.name.split("batch-g")[1])
                 if lo <= n <= hi:
                     out.append(str(p))

@@ -281,3 +281,59 @@ def test_compact_log_crash_mid_merge_never_double_reads(spark, tmp_path):
     store.compact_log(spark, "log", 3, max_runs=1)
     got2 = sorted(r.v for r in store.read_all_batches(spark, "log").collect())
     assert got2 == got
+
+
+def test_compact_log_crash_during_merge_write_keeps_sources(spark, tmp_path):
+    """Simulated crash DURING the merged-run parquet write (mid job
+    commit): the run dir exists but has no _SUCCESS marker and is missing
+    a part file. It must be treated as dead — the intact source batch
+    dirs stay live, no rows are lost, and a later compaction overwrites
+    the partial dir."""
+    from ares_spark.crawl.checkpoint import SnapshotStore
+
+    store = SnapshotStore(tmp_path)
+    for g in range(4):
+        store.append_batch(
+            spark.createDataFrame([(g, f"row{g}")], "generation int, v string"),
+            "log", g,
+        )
+    # hand-write the merged run, then simulate the crash: drop _SUCCESS
+    # and one data file
+    src = [str(tmp_path / "log" / f"batch-g000{g}") for g in (0, 1)]
+    run = tmp_path / "log" / "run-g0000-g0001"
+    spark.read.parquet(*src).write.mode("overwrite").parquet(str(run))
+    (run / "_SUCCESS").unlink()
+    next(run.glob("part-*")).unlink()
+    live = {p.name for _, _, p in store._log_dirs("log")}
+    assert "run-g0000-g0001" not in live
+    assert "batch-g0000" in live and "batch-g0001" in live
+    got = sorted(r.v for r in store.read_all_batches(spark, "log").collect())
+    assert got == ["row0", "row1", "row2", "row3"]  # nothing lost
+    # recovery: compaction overwrites the partial dir and stays exact
+    store.compact_log(spark, "log", 3, max_runs=1)
+    got2 = sorted(r.v for r in store.read_all_batches(spark, "log").collect())
+    assert got2 == got
+
+
+def test_latest_state_log_partial_base_is_ignored(spark, tmp_path):
+    """A base-g{N} left by a crash mid-write (no _SUCCESS) must not
+    become bases[-1] in read_latest — it would shadow all older history
+    and corrupt change detection."""
+    from ares_spark.crawl.checkpoint import LatestStateLog, SnapshotStore
+
+    log = LatestStateLog(SnapshotStore(tmp_path), "st", ["k"])
+    log.write_base(spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"), 0)
+    log.append_delta(spark.createDataFrame([("a", 2)], "k string, v int"), 0)
+    # crash mid-compaction: partial base-g0002 (missing _SUCCESS + a part)
+    base2 = log.dir / "base-g0002"
+    spark.createDataFrame([("a", 99)], "k string, v int").withColumn(
+        "state_gen", F.lit(1)
+    ).write.parquet(str(base2))
+    (base2 / "_SUCCESS").unlink()
+    next(base2.glob("part-*")).unlink()
+    got = {r.k: r.v for r in log.read_latest(spark, 1).collect()}
+    assert got == {"a": 2, "b": 1}  # resolved from base-g0000 + delta
+    # re-running the compaction overwrites the partial dir cleanly
+    log.write_base(log.read_latest(spark, 1), 2)
+    got2 = {r.k: r.v for r in log.read_latest(spark, 2).collect()}
+    assert got2 == got
