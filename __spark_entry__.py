@@ -786,6 +786,7 @@ def q_a23_breaker_schedule(spark, sf_dir):
 
 _A24_SENTINEL = '{"title":"CACHED-A"}'
 _A24_POISON = '{"title":"POISON-B"}'
+_A24_STALE = '{"title":"CACHED-D-STALE"}'
 
 
 def q_a24_cache_semantics(spark, sf_dir):
@@ -795,8 +796,11 @@ def q_a24_cache_semantics(spark, sf_dir):
     comes back unchanged, u2 (different url, same content) is a cache hit
     but changed; an INVALID poison prior for content B must NOT resurrect
     (u3 extracts fresh, changed vs the poison hash); content C has no
-    prior (u4 fresh). ``source`` is decidable because cache hits carry the
-    prior's stored extracted_data verbatim — the sentinel marks them."""
+    prior (u4 fresh); content D has a valid prior OLDER than the cache
+    TTL (cache.rs:26-44 moka time_to_live) — EXPIRED, so u5 re-extracts
+    fresh and flags changed per A12. ``source`` is decidable because
+    cache hits carry the prior's stored extracted_data verbatim — the
+    sentinels mark them."""
     import hashlib
     from pathlib import Path
 
@@ -807,11 +811,13 @@ def q_a24_cache_semantics(spark, sf_dir):
     html_a = Path(f"{_FIXDIR}/blog.html").read_bytes()
     html_b = Path(f"{_FIXDIR}/crawl/post-backpressure.html").read_bytes()
     html_c = Path(f"{_FIXDIR}/crawl/post-ownership.html").read_bytes()
+    html_d = Path(f"{_FIXDIR}/crawl/index.html").read_bytes()
     urls = {
         "u1": ("https://a24.example.org/a1", html_a),
         "u2": ("https://a24.example.org/a2", html_a),
         "u3": ("https://a24.example.org/b", html_b),
         "u4": ("https://a24.example.org/c", html_c),
+        "u5": ("https://a24.example.org/d", html_d),
     }
     pages = spark.createDataFrame(
         [(n, u, h) for n, (u, h) in urls.items()], "name string, url string, html binary"
@@ -826,31 +832,35 @@ def q_a24_cache_semantics(spark, sf_dir):
 
     priors = spark.createDataFrame(
         [
-            # (url, content_hash, extracted_data, data_hash, is_valid)
+            # (url, content_hash, extracted_data, data_hash, is_valid,
+            #  created_at) — u1 fresh-within-TTL, u5 31 days stale
             (urls["u1"][0], chash(html_a, urls["u1"][0]), _A24_SENTINEL,
-             sha(_A24_SENTINEL), True),
+             sha(_A24_SENTINEL), True, "2026-01-31 23:00:00"),
             (urls["u3"][0], chash(html_b, urls["u3"][0]), _A24_POISON,
-             sha(_A24_POISON), False),
+             sha(_A24_POISON), False, "2026-01-31 23:00:00"),
+            (urls["u5"][0], chash(html_d, urls["u5"][0]), _A24_STALE,
+             sha(_A24_STALE), True, "2026-01-01 00:00:00"),
         ],
         "url string, content_hash string, extracted_data string, "
-        "data_hash string, is_valid boolean",
+        "data_hash string, is_valid boolean, created_at string",
     ).select(
-        "*",
+        "url", "content_hash", "extracted_data", "data_hash", "is_valid",
         F.lit("blog").alias("schema_name"),
         F.lit("deterministic-extractor-v1").alias("model"),
         F.array().cast("array<string>").alias("validation_errors"),
         F.array().cast("array<string>").alias("ungrounded_paths"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("created_at"),
+        F.col("created_at").cast("timestamp").alias("created_at"),
         F.sha2(F.col("url"), 256).alias("id"),
     )
     _, _, schema = SchemaRegistry().resolve("blog")
     out = scrape_batch(
         pages, schema, "blog", prior_extractions=priors,
         batch_ts="2026-02-01 00:00:00", mode="staged",
+        cache_ttl_s=7 * 86400.0,
     )
     return out.select(
         "name",
-        F.when(F.col("extracted_data") == _A24_SENTINEL, "cache")
+        F.when(F.col("extracted_data").isin(_A24_SENTINEL, _A24_STALE), "cache")
         .otherwise("fresh")
         .alias("source"),
         F.col("is_valid").alias("valid"),
@@ -1844,7 +1854,11 @@ def oracle_sql() -> dict[str, str]:
         "s03_ann_ivf": _golden_oracle("s03_ann_ivf"),
         "a24_cache_semantics": _case_oracle(
             [("u1", "cache", True, False), ("u2", "cache", True, True),
-             ("u3", "fresh", True, True), ("u4", "fresh", True, True)],
+             ("u3", "fresh", True, True), ("u4", "fresh", True, True),
+             # expired prior → re-extracted (fresh, changed); the fresh
+             # extraction of the link-index page is invalid under the blog
+             # schema — and notably does NOT fall back to the stale prior
+             ("u5", "fresh", False, True)],
             "name, source, valid, changed",
         ),
         "c02_crawl_trace": _C02_ORACLE,

@@ -226,13 +226,27 @@ class FrontierLog:
             str(self.dir / f"batch-g{generation:04d}")
         )
 
+    @staticmethod
+    def _backfill_score(df: DataFrame) -> DataFrame:
+        """Checkpoints written before the frontier grew its 'score' column
+        lack it in parquet; resume must not fail on the spider's select.
+        mergeSchema (set by the caller) surfaces the column as null when
+        only SOME dirs carry it; a fully pre-score checkpoint needs the
+        column added. Either way missing values become the neutral 0.0
+        (order_host_rr's score-less default)."""
+        if "score" not in df.columns:
+            return df.withColumn("score", F.lit(0.0))
+        return df.withColumn("score", F.coalesce("score", F.lit(0.0)))
+
     def _resolved(self, spark: SparkSession, upto_generation: int) -> DataFrame:
         bases = [b for b in self._base_gens() if b <= upto_generation + 1]
         if not bases:
             raise FileNotFoundError(f"no frontier base at or before g{upto_generation}")
         b = bases[-1]
         paths = [str(self.dir / f"base-g{b:04d}")] + self._delta_dirs(b, upto_generation)
-        df = spark.read.parquet(*paths)
+        df = self._backfill_score(
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+        )
         w = Window.partitionBy("job_id").orderBy(F.col("state_gen").desc())
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -249,8 +263,8 @@ class FrontierLog:
         deltas = self._delta_dirs(0, upto_generation)
         if not deltas:
             return live
-        done = (
-            spark.read.parquet(*deltas)
+        done = self._backfill_score(
+            spark.read.option("mergeSchema", "true").parquet(*deltas)
             .filter(F.col("state_gen") <= upto_generation)
             .filter(F.col("status").isin("completed", "failed"))
             .drop("state_gen")

@@ -697,7 +697,7 @@ def _run_generation(
             state.bloom_set = BloomSidecarSet(
                 state.store.root / "blooms", cfg.bloom_capacity_per_shard
             )
-            state.bloom_set.update(state.seen)
+            state.bloom_set.update(state.seen, generation=g - 1)
         # partition-local probing: repartition by (shard, salt) so each
         # task loads O(1) sidecars while a hot shard still spreads over
         # ~4 tasks; the closure ships only the sidecar directory path —
@@ -814,7 +814,7 @@ def _run_generation(
     if state.bloom_set is not None:
         # distributed read-modify-write of the per-shard sidecars — the
         # update itself persists them (resume picks the files back up)
-        state.bloom_set.update(new_seen)
+        state.bloom_set.update(new_seen, generation=g)
 
     # --- lineage + snapshots ----------------------------------------------------
     # lineage aggregates stay in Spark: the driver collects ≤ n_shards rows

@@ -358,13 +358,18 @@ class BloomSidecarSet:
     """
 
     def __init__(self, directory, capacity_per_shard: int = 1_000_000,
-                 fpp: float = 0.01, counts: dict[int, int] | None = None):
+                 fpp: float = 0.01, counts: dict[int, int] | None = None,
+                 applied_gen: int | None = None):
         from pathlib import Path
 
         self.dir = Path(directory)
         self.capacity = capacity_per_shard
         self.fpp = fpp
         self.counts: dict[int, int] = dict(counts or {})
+        # highest generation whose counts are already folded in — makes
+        # re-running a crashed generation idempotent on the saturation
+        # stats (the bitmap OR itself is naturally idempotent)
+        self.applied_gen = applied_gen
 
     @classmethod
     def load(cls, directory) -> "BloomSidecarSet | None":
@@ -376,7 +381,8 @@ class BloomSidecarSet:
             return None
         m = _json.loads(meta.read_text())
         return cls(directory, m["capacity"], m["fpp"],
-                   {int(k): v for k, v in m["counts"].items()})
+                   {int(k): v for k, v in m["counts"].items()},
+                   m.get("applied_gen"))
 
     def _write_meta(self) -> None:
         import json as _json
@@ -384,7 +390,8 @@ class BloomSidecarSet:
         self.dir.mkdir(parents=True, exist_ok=True)
         tmp = self.dir / "meta.json.tmp"
         tmp.write_text(_json.dumps(
-            {"capacity": self.capacity, "fpp": self.fpp, "counts": self.counts}
+            {"capacity": self.capacity, "fpp": self.fpp,
+             "counts": self.counts, "applied_gen": self.applied_gen}
         ))
         tmp.rename(self.dir / "meta.json")
 
@@ -392,7 +399,7 @@ class BloomSidecarSet:
         return [s for s, n in self.counts.items() if n > self.capacity]
 
     def update(self, new_seen: DataFrame, hash_col="url_hash",
-               shard_col="host_shard") -> None:
+               shard_col="host_shard", generation: int | None = None) -> None:
         import os as _os
 
         import pandas as pd
@@ -424,7 +431,9 @@ class BloomSidecarSet:
                         acc[shard] = bf
                         counts[shard] = 0
                     bf.add(grp[hash_col].to_numpy())
-                    counts[shard] += len(grp)
+                    # distinct keys, not raw rows — saturation stats track
+                    # set growth, and duplicate rows must not inflate them
+                    counts[shard] += int(grp[hash_col].nunique())
             for shard, bf in acc.items():
                 p = Path(directory) / f"shard-{shard:04d}.bloom"
                 tmp = p.with_name(p.name + f".tmp-{_os.getpid()}")
@@ -438,8 +447,14 @@ class BloomSidecarSet:
             .mapInPandas(rmw, schema="shard int, n long")
             .collect()  # bounded: one (shard, n) row per shard
         )
+        if (generation is not None and self.applied_gen is not None
+                and generation <= self.applied_gen):
+            return  # re-run of a crashed-then-recovered generation:
+            # bitmaps re-ORed (idempotent), counts already folded in
         for r in rows:
             self.counts[int(r.shard)] = self.counts.get(int(r.shard), 0) + int(r.n)
+        if generation is not None:
+            self.applied_gen = generation
         self._write_meta()
 
     def probe_col(self, hash_col="url_hash", shard_col="host_shard"):

@@ -123,9 +123,10 @@ def _parse_records(stream, source: str) -> Iterator[tuple]:
         when = None
         if ts:
             try:
-                when = datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(
-                    tzinfo=None
-                )
+                # keep the tzinfo: WARC-Date is UTC, and a tz-AWARE value
+                # pins the instant regardless of spark.sql.session.timeZone
+                # (a naive one would shift by the session tz offset)
+                when = datetime.fromisoformat(ts.replace("Z", "+00:00"))
             except ValueError:
                 when = None
         if rtype == "response":
@@ -134,6 +135,15 @@ def _parse_records(stream, source: str) -> Iterator[tuple]:
             status, body = None, payload
             mime = (headers.get("content-type") or "").split(";")[0].strip() or None
         yield (url, when, rtype, status, mime, body, source)
+
+
+def _frame(rows: list[tuple]) -> pd.DataFrame:
+    """Record tuples → Arrow-bound batch. warc_ts becomes tz-aware UTC
+    dtype so the Arrow timestamp carries the tz and the stored instant is
+    independent of spark.sql.session.timeZone."""
+    out = pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA.fields])
+    out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+    return out
 
 
 def _records_of(path: str) -> Iterator[tuple]:
@@ -167,17 +177,16 @@ def read_warc(spark: SparkSession, paths: list[str] | str,
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
             buf: list[tuple] = []
             for path in pdf["path"]:
                 for rec in _records_of(path):
                     buf.append(rec)
                     if len(buf) >= ARROW_BATCH:
-                        yield pd.DataFrame(buf, columns=cols)
+                        yield _frame(buf)
                         buf = []
             if buf:
-                yield pd.DataFrame(buf, columns=cols)
+                yield _frame(buf)
 
     return path_df.mapInPandas(parse, schema=WARC_SCHEMA)
 
@@ -250,7 +259,6 @@ def read_warc_cdx(
     )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
             buf: list[tuple] = []
             # group by file so each archive opens once per batch, offsets
@@ -268,10 +276,10 @@ def read_warc_cdx(
                         for rec in _parse_records(stream, path):
                             buf.append(rec)
                         if len(buf) >= ARROW_BATCH:
-                            yield pd.DataFrame(buf, columns=cols)
+                            yield _frame(buf)
                             buf = []
             if buf:
-                yield pd.DataFrame(buf, columns=cols)
+                yield _frame(buf)
 
     return src.mapInPandas(fetch, schema=WARC_SCHEMA)
 

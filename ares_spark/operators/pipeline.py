@@ -198,6 +198,7 @@ def scrape_batch(
     max_content_chars: int = 500_000,
     parallelism: int | None = None,
     mode: str = "fused",
+    cache_ttl_s: float | None = None,
 ) -> DataFrame:
     """Run the full per-batch pipeline over rows carrying (url, html).
 
@@ -248,12 +249,27 @@ def scrape_batch(
             # caller must not resurrect as valid), and the stored
             # validation_errors/ungrounded_paths are carried through so a
             # cache hit reports exactly what a fresh extraction would.
-            prior_hits = (
-                prior_extractions.filter(
-                    (F.col("schema_name") == schema_name)
-                    & (F.col("model") == model)
-                    & F.col("is_valid")
+            fresh_priors = prior_extractions.filter(
+                (F.col("schema_name") == schema_name)
+                & (F.col("model") == model)
+                & F.col("is_valid")
+            )
+            if cache_ttl_s is not None:
+                # A24 TTL (cache.rs:26-44 moka time_to_live): a prior older
+                # than the TTL relative to this batch's logical timestamp is
+                # EXPIRED — the content re-extracts instead of reusing it
+                if batch_ts is None:
+                    raise ValueError(
+                        "cache_ttl_s needs an explicit batch_ts — TTL is "
+                        "measured against the batch's logical clock, not "
+                        "wall time (runs must be replayable)"
+                    )
+                now_s = F.lit(batch_ts).cast("timestamp").cast("double")
+                fresh_priors = fresh_priors.filter(
+                    now_s - F.col("created_at").cast("double") <= cache_ttl_s
                 )
+            prior_hits = (
+                fresh_priors
                 .select(
                     "content_hash", "extracted_data", "is_valid",
                     "validation_errors", "ungrounded_paths",

@@ -16,6 +16,7 @@ import json
 import re
 from pathlib import Path
 
+
 def _default_defs_dir() -> Path:
     """The packaged schema definitions. When the package is imported from
     a ``--py-files`` zip (the spark-submit ship shape), ``__file__`` points
@@ -35,7 +36,11 @@ def _default_defs_dir() -> Path:
     prefix = str(Path(inner.lstrip("/")).parent / "defs")
     with zipfile.ZipFile(zip_path) as zf:
         names = sorted(n for n in zf.namelist() if n.startswith(prefix))
-        digest = hashlib.sha256("".join(names).encode()).hexdigest()[:16]
+        # content-address by (name, CRC) so an edited def under an unchanged
+        # filename gets a fresh extraction instead of a stale warm-node cache
+        digest = hashlib.sha256(
+            "".join(f"{n}:{zf.getinfo(n).CRC:08x}" for n in names).encode()
+        ).hexdigest()[:16]
         out = Path(tempfile.gettempdir()) / f"ares_schemas-{digest}"
         if not out.exists():
             tmp = Path(f"{out}.tmp-{os.getpid()}")
@@ -67,6 +72,10 @@ def compare_versions(a: str, b: str) -> int:
 
 class SchemaRegistry:
     def __init__(self, root: str | Path | None = None):
+        # defaulted roots are SHARED (the package defs tree, or the
+        # zip-extraction cache reused across runs) — CRUD copies-on-write
+        # to a per-process dir so one run's edits never leak into another
+        self._shared_root = root is None
         self.root = Path(root) if root else _DEFAULT_DIR
         reg = self.root / "registry.json"
         self._latest: dict[str, str] = (
@@ -104,10 +113,23 @@ class SchemaRegistry:
             json.dumps(self._latest, indent=2, sort_keys=True) + "\n"
         )
 
+    def _ensure_writable(self) -> None:
+        if not self._shared_root:
+            return
+        import os
+        import shutil
+        import tempfile
+
+        rw = Path(tempfile.mkdtemp(prefix=f"ares_schemas_rw-{os.getpid()}-"))
+        shutil.copytree(self.root, rw, dirs_exist_ok=True)
+        self.root = rw
+        self._shared_root = False
+
     def create(self, name: str, version: str, schema: dict) -> None:
         """Register a new schema version; refuses to overwrite an existing
         one (use update). The registry latest moves forward only if the new
         version is semantically newer."""
+        self._ensure_writable()
         from ares_spark.operators.validate import validate_schema
 
         errors = validate_schema(schema)
@@ -125,6 +147,7 @@ class SchemaRegistry:
 
     def update(self, name: str, version: str, schema: dict) -> None:
         """Overwrite an EXISTING version's document."""
+        self._ensure_writable()
         from ares_spark.operators.validate import validate_schema
 
         errors = validate_schema(schema)
@@ -139,6 +162,7 @@ class SchemaRegistry:
         """Remove a version; if it was the registry latest, fall back to the
         highest remaining version, or drop the name entirely when none
         remain (schema.rs delete-with-latest-fallback)."""
+        self._ensure_writable()
         path = self.root / name / f"{version}.json"
         if not path.exists():
             raise FileNotFoundError(f"schema {name}@{version} not found")

@@ -199,3 +199,30 @@ def test_sidecar_probe_plan_has_no_broadcast(spark, tmp_path, monkeypatch):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in plan
     assert probed.filter("maybe").count() > 0  # executes end-to-end
+
+
+def test_sidecar_count_accumulation_idempotent_per_generation(spark, tmp_path):
+    """Re-running a crashed-then-recovered generation must not double-count
+    the same keys in the saturation stats: counts fold in at most once per
+    generation (applied_gen in meta.json), while the bitmap re-OR stays
+    harmless. Duplicate rows within a batch count once (distinct keys)."""
+    from ares_spark.crawl.seen import BloomSidecarSet
+
+    side = BloomSidecarSet(tmp_path / "blooms", capacity_per_shard=10_000)
+    df = _mk_seen(spark, 0, 2000)
+    side.update(df, generation=3)
+    base = dict(side.counts)
+    assert sum(base.values()) == 2000
+    # crashed attempt already published meta for g3 → resume re-runs g3
+    resumed = BloomSidecarSet.load(tmp_path / "blooms")
+    assert resumed.applied_gen == 3
+    resumed.update(df, generation=3)
+    assert resumed.counts == base  # no double count
+    # the NEXT generation still accumulates
+    resumed.update(_mk_seen(spark, 2000, 2500), generation=4)
+    assert sum(resumed.counts.values()) == 2500
+    assert BloomSidecarSet.load(tmp_path / "blooms").applied_gen == 4
+    # duplicate rows in one batch: distinct keys, not raw rows
+    dup = BloomSidecarSet(tmp_path / "b2", capacity_per_shard=10_000)
+    dup.update(_mk_seen(spark, 0, 100).union(_mk_seen(spark, 0, 100)))
+    assert sum(dup.counts.values()) == 100

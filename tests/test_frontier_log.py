@@ -337,3 +337,22 @@ def test_latest_state_log_partial_base_is_ignored(spark, tmp_path):
     log.write_base(log.read_latest(spark, 1), 2)
     got2 = {r.k: r.v for r in log.read_latest(spark, 2).collect()}
     assert got2 == got
+
+
+def test_frontier_resume_backfills_missing_score_column(spark, tmp_path):
+    """Checkpoints written before the frontier had a 'score' column must
+    still resume: read_live/read_full backfill score=0.0 instead of
+    failing the spider's unconditional select, including the mixed case
+    (old score-less base + new delta that has the column)."""
+    flog = FrontierLog(SnapshotStore(tmp_path), compact_interval=8)
+    old = _df(spark, [_row("a"), _row("b")]).drop("score")  # pre-score era
+    flog.write_base(old, 0)
+    live = flog.read_live(spark, 0)
+    assert live.select("score").collect()[0].score == 0.0
+    # new code appends a delta WITH score; mixed read still resolves
+    flog.append_delta(_df(spark, [_row("a", status="completed"),
+                                  _row("c", seq=2)]), 0)
+    got = {r.job_id: r.score for r in flog.read_live(spark, 0).collect()}
+    assert got == {"b": 0.0, "c": 0.0}
+    full = {r.job_id: r.status for r in flog.read_full(spark, 0).collect()}
+    assert full == {"a": "completed", "b": "pending", "c": "pending"}

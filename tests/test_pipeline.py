@@ -144,3 +144,39 @@ def test_pipeline_cache_ignores_invalid_priors(spark, pages):
     assert j2.filter(
         F.col("s.ungrounded_paths") != F.col("p.ungrounded_paths")
     ).count() == 0
+
+
+def test_pipeline_cache_ttl_expires_stale_priors(spark, pages):
+    """A24 TTL (cache.rs:26-44): a valid prior older than cache_ttl_s
+    relative to the batch's logical timestamp is EXPIRED — its content
+    re-extracts fresh; a prior within the TTL is still a hit. Without a
+    cache_ttl_s, priors are reused regardless of age (legacy behavior)."""
+    _, _, schema = SchemaRegistry().resolve("blog")
+    first = scrape_batch(pages, schema, "blog", batch_ts="2026-01-01 00:00:00")
+    cols = [
+        "id", "url", "schema_name", "extracted_data", "content_hash",
+        "data_hash", "model", "provider", "schema_version", "created_at",
+        "is_valid", "validation_errors", "ungrounded_paths",
+    ]
+    sentinel = '{"title":"FROM-CACHE"}'
+    prior = (first.filter(F.col("is_valid")).select(*cols)
+             .withColumn("extracted_data", F.lit(sentinel)))
+    n_valid = prior.count()
+
+    def hits(batch_ts, ttl):
+        out = scrape_batch(pages, schema, "blog", prior_extractions=prior,
+                           batch_ts=batch_ts, mode="staged", cache_ttl_s=ttl)
+        return out.filter(F.col("extracted_data") == sentinel).count()
+
+    # 1 day later with a 7-day TTL: every valid prior is still a hit
+    assert hits("2026-01-02 00:00:00", 7 * 86400.0) == n_valid
+    # 31 days later with a 7-day TTL: everything expired, zero hits
+    assert hits("2026-02-01 00:00:00", 7 * 86400.0) == 0
+    # no TTL: age is irrelevant (reuse-forever legacy mode)
+    out = scrape_batch(pages, schema, "blog", prior_extractions=prior,
+                       batch_ts="2027-01-01 00:00:00", mode="staged")
+    assert out.filter(F.col("extracted_data") == sentinel).count() == n_valid
+    # TTL without a logical clock is refused — replayability contract
+    with pytest.raises(ValueError, match="batch_ts"):
+        scrape_batch(pages, schema, "blog", prior_extractions=prior,
+                     mode="staged", cache_ttl_s=60.0)

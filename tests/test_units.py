@@ -358,3 +358,22 @@ def test_xxh64_twin_matches_spark(spark):
     for i, case in enumerate(cases):
         args = [("long", v) if t == "l" else v for t, v in case]
         assert spark_xxhash64(*args) == got[f"c{i}"], case
+
+
+def test_registry_crud_on_default_root_is_isolated():
+    """CRUD against a default-constructed registry must copy-on-write to a
+    per-process dir — never mutate the shared packaged defs tree (or the
+    spark-submit zip-extraction cache reused across runs)."""
+    reg = SchemaRegistry()
+    shared = reg.root
+    doc = {"type": "object", "properties": {"a": {"type": "string"}},
+           "required": ["a"]}
+    reg.create("cow_thing", "1.0.0", doc)
+    assert reg.root != shared  # switched to a private copy
+    assert reg.resolve("cow_thing@latest")[1] == "1.0.0"
+    assert reg.resolve("blog")[0] == "blog"  # packaged defs still visible
+    assert not (shared / "cow_thing").exists()  # shared tree untouched
+    assert "cow_thing" not in SchemaRegistry()._latest  # no cross-run leak
+    import shutil
+
+    shutil.rmtree(reg.root)

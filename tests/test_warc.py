@@ -35,7 +35,7 @@ def test_warc_parse_handcrafted_bytes(tmp_path):
     assert len(got) == 1  # warcinfo/request skipped
     url, when, rtype, status, mime, html, _ = got[0]
     assert url == "https://w.example.org/a"
-    assert when.isoformat() == "2026-03-01T12:00:00"
+    assert when.isoformat() == "2026-03-01T12:00:00+00:00"  # tz-AWARE UTC
     assert (rtype, status, mime) == ("response", 200, "text/html")
     assert bytes(html) == body
 
@@ -152,3 +152,28 @@ def test_cdx_indexed_read_equals_sequential(spark, tmp_path):
     assert got.count() == 25
     # the entries DataFrame partitions arbitrarily -> record-granular tasks
     assert via_cdx.rdd.getNumPartitions() > 1
+
+
+def test_warc_ts_independent_of_session_timezone(spark, tmp_path):
+    """WARC-Date is UTC; the stored instant must not shift when the Spark
+    session timezone is not UTC (the parse yields tz-AWARE datetimes)."""
+    from pyspark.sql import functions as F
+
+    from ares_spark.io.warc import read_warc, write_warc
+
+    write_warc(str(tmp_path / "t.warc.gz"),
+               [{"url": "https://tz.example.org/", "date": "2026-03-01T12:00:00Z",
+                 "body": b"<html>x</html>", "status": 200, "mime": "text/html"}])
+    from datetime import datetime, timezone
+
+    want = int(datetime(2026, 3, 1, 12, tzinfo=timezone.utc).timestamp())
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (read_warc(spark, str(tmp_path))
+                   .select(F.unix_timestamp("warc_ts").alias("e"))
+                   .collect()[0].e)
+            assert got == want, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
