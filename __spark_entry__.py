@@ -104,6 +104,27 @@ def q_b04_history_pagination(spark, sf_dir):
     )
 
 
+def q_b04_history_keyset(spark, sf_dir):
+    """B4 keyset pagination — the scale-clean sibling of LIMIT/OFFSET
+    (repository.rs:86-87): the cursor (last_ts, last_event_id) from the
+    previous page bounds the scan, so the plan is a pushed-down filter +
+    per-partition top-K (TakeOrderedAndProject) — no global window, no
+    single-partition sort, flat cost at any page depth. The OFFSET twin
+    (b04_history_pagination) stays as the reference-parity artifact."""
+    cur_ts = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cur_id = 5000
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") < cur_ts)
+            | ((F.col("ts") == cur_ts) & (F.col("event_id") < cur_id))
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(20)
+        .select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    )
+
+
 def q_b05_latest_per_key(spark, sf_dir):
     """B5: latest extraction per (url, schema) → latest event per
     (user_id, event_type) (repository.rs:48-70)."""
@@ -261,6 +282,21 @@ def q_a12_change_detection(spark, sf_dir):
         "user_id",
         "event_type",
         (F.col("prev_value").isNull() | (F.col("prev_value") != F.col("value"))).alias("changed"),
+    )
+
+
+def q_a12b_skip_save(spark, sf_dir):
+    """A12/skip_save (scrape.rs:256-299 skip_unchanged): the PERSISTED log
+    under skip-unchanged mode — only first-observation or changed rows
+    survive the save. Because an unchanged row equals the previous
+    observation, compare-vs-previous-observation and
+    compare-vs-last-persisted select the same set (the property the
+    loop's persist_unchanged=False filter relies on; pinned in pytest)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").withColumn("prev_value", F.lag("value").over(w))
+    return (
+        e.filter(F.col("prev_value").isNull() | (F.col("prev_value") != F.col("value")))
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
     )
 
 
@@ -899,8 +935,10 @@ def q_a26_registry_resolve(spark, sf_dir):
 
 
 def q_a29_output_format(spark, sf_dir):
-    """A29 output formatting (output.rs:6-11): jsonl line rendering and the
-    CSV nested-column JSON encoding, pinned byte-exact."""
+    """A29 output formatting (output.rs:6-11, all five formats): jsonl
+    line rendering, the CSV nested-column JSON encoding, and the jq
+    format's path extraction (JVM-side get_json_object twin of
+    io.output.to_jq, which is byte-pinned in pytest), pinned exact."""
     df = spark.createDataFrame(
         [(1, "a", ["x", "y"]), (2, "b", [])], "id int, name string, tags array<string>"
     )
@@ -908,6 +946,9 @@ def q_a29_output_format(spark, sf_dir):
         "id",
         F.to_json(F.struct("id", "name", "tags")).alias("jsonl"),
         F.to_json("tags").alias("csv_tags"),
+        F.get_json_object(
+            F.to_json(F.struct("id", "name", "tags")), "$.name"
+        ).alias("jq_name"),
     )
 
 
@@ -1339,6 +1380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w01_warc_source": q_w01_warc_source,
         # red in r3 (oracle type mismatch, now cast) — prove the fix
         "d08_line_dedup": q_d08_line_dedup,
+        # new in r4
+        "b04_history_keyset": q_b04_history_keyset,
+        "a12b_skip_save": q_a12b_skip_save,
         # the rest, roughly by operator family
         "a02_ssrf_guard": q_a02_ssrf_guard,
         "a04_politeness_budget": q_a04_politeness_budget,
@@ -1495,6 +1539,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (order by ts desc, event_id desc) as rn
               from events) where rn > 20 and rn <= 40
         """,
+        "b04_history_keyset": """
+            select event_id, floor(epoch(ts))::bigint as ts_epoch
+            from events
+            where ts < timestamp '2024-01-15 00:00:00'
+               or (ts = timestamp '2024-01-15 00:00:00' and event_id < 5000)
+            order by ts desc, event_id desc limit 20
+        """,
         "b05_latest_per_key": """
             select user_id, event_type, event_id, round(value, 4) as value from (
               select *, row_number() over (partition by user_id, event_type
@@ -1559,6 +1610,13 @@ def oracle_sql() -> dict[str, str]:
             from (select *, lag(value) over (partition by user_id, event_type
                                              order by ts, event_id) as prev_value
                   from events)
+        """,
+        "a12b_skip_save": """
+            select event_id, user_id, event_type, round(value, 4) as value
+            from (select *, lag(value) over (partition by user_id, event_type
+                                             order by ts, event_id) as prev_value
+                  from events)
+            where prev_value is null or prev_value != value
         """,
         "a15_domain_filter": """
             with urls as (
@@ -1926,8 +1984,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a29_output_format": (
             'select * from (values '
-            '(1, \'{"id":1,"name":"a","tags":["x","y"]}\', \'["x","y"]\'), '
-            '(2, \'{"id":2,"name":"b","tags":[]}\', \'[]\')) t(id, jsonl, csv_tags)'
+            '(1, \'{"id":1,"name":"a","tags":["x","y"]}\', \'["x","y"]\', \'a\'), '
+            '(2, \'{"id":2,"name":"b","tags":[]}\', \'[]\', \'b\')) '
+            't(id, jsonl, csv_tags, jq_name)'
         ),
         # d04_simhash, s02_ann_lsh, d06_minhash_lsh_xx, t05_fingerprint64:
         # non-SQL-expressible (xxhash64 / seeded hyperplanes) → rows-only

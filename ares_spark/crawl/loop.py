@@ -138,6 +138,10 @@ class CrawlConfig:
     #                 (a PageRank-ish prior favoring link-near-seed pages)
     score_mode: str = "zero"
     score_decay: float = 0.85
+    # skip_save parity (scrape.rs:256-299 skip_unchanged): when False,
+    # valid-but-UNCHANGED extractions are dropped before the append — the
+    # prior row stays the latest; changed or first-time rows always persist
+    persist_unchanged: bool = True
 
 
 def seed_frontier(
@@ -599,7 +603,13 @@ def _run_generation(
     else:
         extractions = extractions.withColumn("changed", F.lit(True))
     t0 = time.time()
-    state.store.append_batch(extractions.filter(F.col("is_valid")), "extractions", g)
+    persistable = extractions.filter(F.col("is_valid"))
+    if not cfg.persist_unchanged:
+        # scrape.rs:265-268 skip_unchanged: drop unchanged rows BEFORE the
+        # append; the elog delta below is built from the written batch, so
+        # skipped urls keep their prior latest row untouched
+        persistable = persistable.filter(F.col("changed"))
+    state.store.append_batch(persistable, "extractions", g)
     t0 = _tick("extractions_append", t0, g)
     # extractions_latest delta: this generation's valid rows reduced to one
     # per url (claim_pos tiebreak, matching get_latest). Built from the

@@ -392,3 +392,40 @@ def test_resume_equals_uninterrupted_across_all_state_layers(
     # latest-per-url over the raw extraction log — on both checkpoints
     assert st_full == e_full and st_res == e_res
     assert _visits(spark, full_ckpt) == _visits(spark, part_ckpt)
+
+
+def test_persist_unchanged_false_skips_save(spark, tmp_path_factory):
+    """skip_save parity (scrape.rs:256-299 skip_unchanged): with
+    persist_unchanged=False the requeued seed's unchanged re-extraction is
+    NOT appended — the extraction log holds one row per url — while the
+    latest-state view still resolves (the prior row stays latest). The
+    default mode keeps the reference's save-snapshot behavior."""
+    from ares_spark.io.synth import EPOCH, PAGES_SCHEMA
+
+    seed_html = (b'<html><head><title>Seed</title>'
+                 b'<link rel="canonical" href="https://sk.example.com/">'
+                 b'<meta name="description" content="d">'
+                 b'</head><body><h1>Seed</h1><p>seed body text</p>'
+                 b'<a href="/child">c</a></body></html>')
+    child_html = (b'<html><head><title>Child</title>'
+                  b'<link rel="canonical" href="https://sk.example.com/child">'
+                  b'<meta name="description" content="e">'
+                  b'</head><body><h1>Child</h1><p>child body text</p>'
+                  b'<a href="/">back</a></body></html>')
+    pages = spark.createDataFrame(
+        [("https://sk.example.com/", EPOCH, seed_html, None, "en"),
+         ("https://sk.example.com/child", EPOCH, child_html, None, "en")],
+        PAGES_SCHEMA,
+    )
+    for persist, want_seed_rows in ((True, 2), (False, 1)):
+        ckpt = str(tmp_path_factory.mktemp(f"crawl_sk_{persist}"))
+        run_crawl(spark, pages, ["https://sk.example.com/"], ckpt,
+                  CrawlConfig(schema_spec="product", max_depth=3,
+                              use_bloom=False, max_generations=10,
+                              persist_unchanged=persist))
+        ex = SnapshotStore(ckpt).read_all_batches(spark, "extractions")
+        seed_rows = [r for r in ex.collect() if r.url == "https://sk.example.com/"]
+        assert len(seed_rows) == want_seed_rows, persist
+        if not persist:
+            # the one persisted row is the FIRST (changed) observation
+            assert seed_rows[0].changed is True

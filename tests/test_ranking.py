@@ -81,3 +81,30 @@ def test_engine_rank_plan_partitions_all_windows(spark):
             assert "ASC" not in first_arg and "DESC" not in first_arg, (
                 f"unpartitioned window in engine plan: {first_arg}"
             )
+
+
+def test_keyset_pagination_plan_no_global_window(spark):
+    """b04_history_keyset is the 100x-clean pagination path: its physical
+    plan is a pushed-down cursor filter + distributed top-K
+    (TakeOrderedAndProject) with NO Window node at all — and it returns
+    exactly the rows the OFFSET formulation returns for the same page."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    q = e.queries()["b04_history_keyset"](spark, sf)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # parity with the OFFSET formulation of the same page
+    got = [(r.event_id, r.ts_epoch) for r in q.collect()]
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from pyspark.sql import Window as W
+
+    cur = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    w = W.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    offs = (ev.filter((F.col("ts") < cur)
+                      | ((F.col("ts") == cur) & (F.col("event_id") < 5000)))
+            .withColumn("rn", F.row_number().over(w)).filter("rn <= 20")
+            .select("event_id", F.unix_timestamp("ts").alias("ts_epoch")))
+    want = [(r.event_id, r.ts_epoch) for r in offs.collect()]
+    assert sorted(got) == sorted(want) and len(got) == 20

@@ -125,3 +125,26 @@ def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
     # a: first in b1 (1 dupe inside the batch); b: first in b1, its b2
     # re-occurrence is dropped by persisted state; c: first in b2
     assert got == {"https://s.org/a": 1, "https://s.org/b": 0, "https://s.org/c": 0}
+
+
+def test_output_jq_format_byte_pinned(spark):
+    """The fifth reference format (output.rs:6-11 OutputFormat::Jq):
+    compact serde-style JSON, one line per result value; path subset
+    byte-pinned against hand-written expected strings."""
+    from ares_spark.io.output import to_jq
+
+    df = spark.createDataFrame(
+        [(1, "a", ["x", "y"]), (2, "b", [])],
+        "id int, name string, tags array<string>",
+    ).orderBy("id")
+    # '.' = the whole result, compact (vs to_json's pretty print)
+    assert to_jq(df) == '[{"id":1,"name":"a","tags":["x","y"]},{"id":2,"name":"b","tags":[]}]'
+    assert to_jq(df, ".[]") == '{"id":1,"name":"a","tags":["x","y"]}\n{"id":2,"name":"b","tags":[]}'
+    assert to_jq(df, ".[] | .name") == '"a"\n"b"'
+    assert to_jq(df, ".[] | .tags[]") == '"x"\n"y"'
+    assert to_jq(df, ".[0].tags[1]") == '"y"'
+    assert to_jq(df, ".[] | .missing") == "null\nnull"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        to_jq(df, "garbage")
