@@ -1276,6 +1276,65 @@ _C04_ORACLE = """
 """
 
 
+def q_c06_job_control(spark, sf_dir):
+    """Job-control trace (job_repository.rs:230-244 cancel, :296-319
+    retry): crawl the reference mini-site to its generation cap leaving
+    the 5 /tag/* jobs pending on the retry backoff, CANCEL two mid-crawl,
+    resume (only the other three retry → failed), RESET all five
+    (pending, retry_count=0), resume again (claimed, fetch_error, retry,
+    failed). Final state: posts completed with 1 visit; the two cancelled
+    tags show 3 visits (their post-cancel attempts never happened), the
+    rest 4; every tag ends failed with retry_count=1."""
+    import tempfile
+
+    from ares_spark.crawl import CrawlConfig, job_control, resume_crawl, run_crawl
+    from ares_spark.crawl.checkpoint import FrontierLog, SnapshotStore
+    from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
+
+    ckpt = tempfile.mkdtemp(prefix="ares_jobctl_")
+    run_crawl(
+        spark, crawl_site_pages(spark), [CRAWL_SEED_URL], ckpt,
+        CrawlConfig(
+            schema_spec="blog@latest", max_depth=2, max_pages=100,
+            max_retries=1, use_bloom=False, max_generations=3,
+            breaker={"failure_threshold": 1_000},
+        ),
+    )
+    tag = "https://blog.example.com/tag/"
+    job_control(spark, ckpt, "cancel", [tag + "async", tag + "rust"])
+    resume_crawl(spark, crawl_site_pages(spark), ckpt, max_generations=20)
+    job_control(spark, ckpt, "reset",
+                [tag + t for t in ("async", "rust", "tokio", "concurrency",
+                                   "ownership")])
+    resume_crawl(spark, crawl_site_pages(spark), ckpt, max_generations=40)
+    store = SnapshotStore(ckpt)
+    full = FrontierLog(store).read_full(spark, store.latest_generation())
+    visits = (
+        store.read_all_batches(spark, "visits")
+        .groupBy("url").agg(F.count("*").alias("n_visits"))
+    )
+    return (
+        full.join(visits, "url", "left")
+        .select("url", "status", "retry_count",
+                F.coalesce("n_visits", F.lit(0)).alias("n_visits"))
+        .orderBy("url")
+    )
+
+
+_C06_ORACLE = """
+    select * from (values
+      ('https://blog.example.com/', 'completed', 0, 1),
+      ('https://blog.example.com/post-backpressure.html', 'completed', 0, 1),
+      ('https://blog.example.com/post-ownership.html', 'completed', 0, 1),
+      ('https://blog.example.com/tag/async', 'failed', 1, 3),
+      ('https://blog.example.com/tag/concurrency', 'failed', 1, 4),
+      ('https://blog.example.com/tag/ownership', 'failed', 1, 4),
+      ('https://blog.example.com/tag/rust', 'failed', 1, 3),
+      ('https://blog.example.com/tag/tokio', 'failed', 1, 4)
+    ) t(url, status, retry_count, n_visits)
+"""
+
+
 def q_c03_extraction_fixtures(spark, sf_dir):
     """A8/A9 structured-extraction parity across ALL 11 registry schemas:
     the six reference fixtures plus five synthesized fixtures
@@ -1383,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4
         "b04_history_keyset": q_b04_history_keyset,
         "a12b_skip_save": q_a12b_skip_save,
+        "c06_job_control": q_c06_job_control,
         # the rest, roughly by operator family
         "a02_ssrf_guard": q_a02_ssrf_guard,
         "a04_politeness_budget": q_a04_politeness_budget,
@@ -1900,11 +1960,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c01_cleaner_fixtures": _c01_oracle(),
         # hash-variant queries: golden VALUES regenerated by
-        # tools/gen_scale_goldens.py — t05/d04/d06 recomputed INDEPENDENTLY
-        # (spec-derived tokenizer, stdlib blake2b, xxHash re-implemented
-        # from the public spec with F.xxhash64 parity pinned in tests);
-        # s02 is engine output frozen after a recall>=0.8 gate vs numpy
-        # brute force (hyperplane sampling has no code-independent spec)
+        # tools/gen_scale_goldens.py — t05/d04/d06/s02 all recomputed
+        # INDEPENDENTLY (spec-derived tokenizer, stdlib blake2b, xxHash
+        # re-implemented from the public spec with F.xxhash64 parity
+        # pinned in tests, s02 hyperplanes re-derived from the documented
+        # sha256 Box-Muller spec with buckets/multiprobe/cosine redone in
+        # numpy); s02/s03 additionally recall-gated vs numpy brute force
         "t05_fingerprint64": _golden_oracle("t05_fingerprint64"),
         "d04_simhash": _golden_oracle("d04_simhash"),
         "d06_minhash_lsh_xx": _golden_oracle("d06_minhash_lsh_xx"),
@@ -1922,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         "c02_crawl_trace": _C02_ORACLE,
         "c03_extraction_fixtures": _c03_oracle(),
         "c04_crawl_trace_retries": _C04_ORACLE,
+        "c06_job_control": _C06_ORACLE,
         "m01_image_decode_luma": _M01_ORACLE,
         "m02_wav_decode_stats": _M02_ORACLE,
         "m03_png_decode_luma": _M03_ORACLE,

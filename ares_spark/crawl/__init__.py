@@ -7,6 +7,6 @@ replaced by deterministic sort order; Postgres state by checkpointed
 snapshot tables with per-partition lineage (north_rule).
 """
 
-from ares_spark.crawl.loop import CrawlConfig, run_crawl, resume_crawl
+from ares_spark.crawl.loop import CrawlConfig, job_control, run_crawl, resume_crawl
 
-__all__ = ["CrawlConfig", "run_crawl", "resume_crawl"]
+__all__ = ["CrawlConfig", "job_control", "run_crawl", "resume_crawl"]

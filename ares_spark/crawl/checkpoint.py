@@ -258,16 +258,27 @@ class FrontierLog:
         return self._resolved(spark, upto_generation).filter(F.col("status") == "pending")
 
     def read_full(self, spark: SparkSession, upto_generation: int) -> DataFrame:
-        """Live ∪ terminal rows — the complete jobs-table view (cold path)."""
+        """Live ∪ latest terminal row per job — the complete jobs-table
+        view (cold path). Terminal rows resolve latest-wins per job_id
+        because cancel/reset (job_repository.rs:230-319) make terminal
+        states non-absorbing: a job can go failed → pending (reset) →
+        failed again; only its newest terminal row — and none at all if
+        it is currently live — belongs in the view."""
         live = self.read_live(spark, upto_generation)
         deltas = self._delta_dirs(0, upto_generation)
         if not deltas:
             return live
-        done = self._backfill_score(
+        term = self._backfill_score(
             spark.read.option("mergeSchema", "true").parquet(*deltas)
             .filter(F.col("state_gen") <= upto_generation)
-            .filter(F.col("status").isin("completed", "failed"))
-            .drop("state_gen")
+            .filter(F.col("status").isin("completed", "failed", "cancelled"))
+        )
+        w = Window.partitionBy("job_id").orderBy(F.col("state_gen").desc())
+        done = (
+            term.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "state_gen")
+            .join(live.select("job_id"), "job_id", "left_anti")
         )
         return live.unionByName(done)
 

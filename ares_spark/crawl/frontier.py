@@ -112,3 +112,27 @@ def retry_delay_expr(attempt_col="retry_count"):
     return (
         F.when(a <= 1, 60.0).when(a == 2, 300.0).when(a == 3, 1800.0).otherwise(3600.0)
     )
+
+
+def cancel_jobs(sel: DataFrame) -> DataFrame:
+    """A job-control transition (job_repository.rs:230-244 cancel_job):
+    rows NOT already completed/cancelled move to 'cancelled' — a terminal
+    status claimable() never selects. Input is the caller's selection of
+    current-state rows; output is the delta to append to the FrontierLog."""
+    return (
+        sel.filter(~F.col("status").isin("completed", "cancelled"))
+        .withColumn("status", F.lit("cancelled"))
+    )
+
+
+def reset_jobs(sel: DataFrame) -> DataFrame:
+    """Manual retry (job_repository.rs:296-319 retry_job): failed or
+    cancelled rows become fresh pending — retry_count 0, error and
+    next_retry_at cleared — so the next generation claims them again."""
+    return (
+        sel.filter(F.col("status").isin("failed", "cancelled"))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("error", F.lit(None).cast("string"))
+        .withColumn("next_retry_at", F.lit(None).cast("double"))
+    )

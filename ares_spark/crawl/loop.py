@@ -386,12 +386,17 @@ def resume_crawl(
     pages: DataFrame,
     checkpoint_dir: str,
     robots_raw: dict[str, str] | None = None,
+    max_generations: int | None = None,
 ) -> dict:
     """Resume a killed crawl from its last published manifest (north_rule:
-    any run is resumable mid-crawl from snapshot + lineage)."""
+    any run is resumable mid-crawl from snapshot + lineage).
+    ``max_generations`` extends the stored config's horizon — the operator
+    knob for continuing a crawl that ran to its generation cap."""
     store = SnapshotStore(checkpoint_dir)
     meta = json.loads((store.root / "config.json").read_text())
     cfg = CrawlConfig(**meta["cfg"])
+    if max_generations is not None:
+        cfg.max_generations = max_generations
     g = store.latest_generation()
     if g is None:
         raise FileNotFoundError("no manifest to resume from")
@@ -922,4 +927,46 @@ def _run_generation(
     state.visit_base = summary["visit_base"]
     state.visited = summary["seen_total"]
     state.generation = g + 1
+    return summary
+
+
+def job_control(
+    spark: SparkSession, checkpoint_dir: str, op: str, urls: list[str]
+) -> dict:
+    """Operator-facing job control between generations — the batch form of
+    job_repository.rs:230-244 (cancel_job) and :296-319 (retry_job).
+
+    ``op='cancel'``: matching rows not already completed/cancelled move to
+    'cancelled' (terminal; never claimed again). ``op='reset'``: matching
+    failed/cancelled rows become fresh pending (retry_count=0, error and
+    backoff cleared) so the next resume claims them again.
+
+    The transition delta is appended as its OWN generation with a manifest
+    carrying the crawl counters forward, so the op is itself checkpointed,
+    crash-safe (overwrite-by-dir idempotent), and visible to a subsequent
+    resume_crawl exactly like any other generation."""
+    from ares_spark.crawl.frontier import cancel_jobs, reset_jobs
+
+    if op not in ("cancel", "reset"):
+        raise ValueError(f"unknown job-control op: {op!r}")
+    store = SnapshotStore(checkpoint_dir)
+    meta = json.loads((store.root / "config.json").read_text())
+    cfg = CrawlConfig(**meta["cfg"])
+    g = store.latest_generation()
+    if g is None:
+        raise FileNotFoundError("no manifest to apply a job-control op to")
+    man = store.read_manifest(g)
+    flog = FrontierLog(store, compact_interval=cfg.compact_interval)
+    targets = [canonicalize_url(u) for u in urls]
+    sel = flog.read_full(spark, g).filter(F.col("url").isin(targets))
+    delta = cancel_jobs(sel) if op == "cancel" else reset_jobs(sel)
+    n = delta.count()
+    flog.append_delta(delta, g + 1)
+    summary = {
+        **man,
+        "generation": g + 1,
+        "claimed": 0, "completed": 0, "errors": 0, "new_children": 0,
+        "control_op": {"op": op, "urls": targets, "rows": n},
+    }
+    store.write_manifest(g + 1, summary)
     return summary

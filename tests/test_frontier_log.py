@@ -356,3 +356,28 @@ def test_frontier_resume_backfills_missing_score_column(spark, tmp_path):
     assert got == {"b": 0.0, "c": 0.0}
     full = {r.job_id: r.status for r in flog.read_full(spark, 0).collect()}
     assert full == {"a": "completed", "b": "pending", "c": "pending"}
+
+
+def test_read_full_latest_terminal_after_cancel_and_reset(spark, tmp_path):
+    """Cancel/reset (job_repository.rs:230-319) make terminal states
+    non-absorbing: read_full must show only the LATEST terminal row per
+    job, and none at all once the job is live (pending) again."""
+    from ares_spark.crawl.frontier import cancel_jobs, reset_jobs
+
+    flog = FrontierLog(SnapshotStore(tmp_path))
+    flog.write_base(_df(spark, [_row("a"), _row("b"), _row("c")]), 0)
+    # g0: a fails; g1: cancel b; g2: reset a and b back to pending
+    flog.append_delta(_df(spark, [_row("a", status="failed")]), 0)
+    flog.append_delta(cancel_jobs(flog.read_full(spark, 0).filter("job_id = 'b'")), 1)
+    full1 = {r.job_id: r.status for r in flog.read_full(spark, 1).collect()}
+    assert full1 == {"a": "failed", "b": "cancelled", "c": "pending"}
+    # cancel refuses completed/cancelled rows; reset refuses pending ones
+    assert cancel_jobs(flog.read_full(spark, 1).filter("job_id = 'b'")).count() == 0
+    assert reset_jobs(flog.read_full(spark, 1).filter("job_id = 'c'")).count() == 0
+    resets = reset_jobs(flog.read_full(spark, 1).filter("job_id in ('a','b')"))
+    assert resets.count() == 2
+    flog.append_delta(resets, 2)
+    full2 = {r.job_id: (r.status, r.retry_count) for r in flog.read_full(spark, 2).collect()}
+    assert full2 == {"a": ("pending", 0), "b": ("pending", 0), "c": ("pending", 0)}
+    live = {r.job_id for r in flog.read_live(spark, 2).collect()}
+    assert live == {"a", "b", "c"}  # reset rows are claimable again
