@@ -953,14 +953,18 @@ def q_a29_output_format(spark, sf_dir):
 
 
 def q_m01_image_decode_luma(spark, sf_dir):
-    """REAL image decode (library-free 24-bit BMP parser) cross-checked
-    from first principles: the fixtures are deterministic gradient BMPs,
-    so DuckDB recomputes each image's mean luma analytically from the
-    gradient formula — a fully independent oracle over genuinely decoded
-    bytes (multimodal.decode_bmp)."""
-    from ares_spark.operators.multimodal import decode_image_features, synth_media_real
+    """REAL image decode (library-free 24-bit BMP parser + baseline JPEG:
+    Huffman, dequant, IDCT — multimodal.decode_jpeg) cross-checked from
+    first principles: gradient BMPs whose mean luma DuckDB recomputes
+    analytically from the gradient formula, plus flat even-gray JPEGs
+    chosen so the lossy pipeline round-trips EXACTLY (DC multiple of the
+    quantizer, Cb=Cr=128) — the luma is the constructed gray value, not
+    engine output."""
+    from ares_spark.operators.multimodal import (
+        decode_image_features, synth_media_jpeg, synth_media_real,
+    )
 
-    media = synth_media_real(spark, n=12)
+    media = synth_media_real(spark, n=12).unionByName(synth_media_jpeg(spark, n=4))
     return decode_image_features(media).select(
         "media_id", F.round("mean_luma", 3).alias("luma3")
     )
@@ -1122,6 +1126,11 @@ _M01_ORACLE = """
     )
     select media_id, round(avg((r + g + c) / 3.0), 3) as luma3
     from cells group by media_id
+    union all
+    -- flat even-gray JPEGs: the construction-known pixel value IS the
+    -- luma (exact baseline-JPEG round-trip; see synth_media_jpeg)
+    select * from (values ('j0000', 84.0), ('j0001', 136.0),
+                          ('j0002', 188.0), ('j0003', 240.0)) j(media_id, luma3)
 """
 
 _M02_ORACLE = """

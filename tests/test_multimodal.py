@@ -286,3 +286,97 @@ def test_mp4_frame_sampling_through_engine(spark):
     assert [(i, t) for i, t, _ in v0] == [(0, 0), (1, 300), (2, 600), (3, 900)]
     assert [f for _, _, f in v0] == [frames[0], frames[3], frames[6], frames[9]]
     assert any(r.media_id == "v1" for r in got)  # fake path still works
+
+
+def test_jpeg_flat_even_gray_roundtrip_exact():
+    """The m01 oracle's foundation: flat gray with an even value survives
+    the full lossy pipeline EXACTLY (DC = 8·(v−128) is a multiple of the
+    Annex-K luma DC quantizer 16; Cb=Cr=128), including edge padding on
+    non-multiple-of-8 dims."""
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    for v, (h, w) in [(84, (14, 20)), (136, (23, 27)), (240, (9, 11)), (2, (8, 8))]:
+        px = np.full((h, w, 3), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px))
+        assert out.shape == (h, w, 3)
+        assert (out == v).all(), (v, h, w)
+
+
+def test_jpeg_gradient_roundtrip_bounded_error():
+    """Lossy but sane: Annex-K quantization of a smooth gradient stays
+    within a small per-pixel error bound and preserves the global mean."""
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:33]
+    px = np.stack([(x * 255 // 32), (y * 255 // 23),
+                   np.full((24, 33), 77)], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 40
+    assert abs(float(out.mean()) - float(px.mean())) < 2.0
+
+
+def test_jpeg_decode_handcrafted_bytes():
+    """Decoder pinned against JPEG bytes assembled BY HAND from the
+    ITU-T.81 framing — not via encode_jpeg — so an encoder/decoder twin
+    bug cannot self-cancel. One 8x8 grayscale block, flat value 200:
+    DC diff 36 (size 6, bits 100100) under a hand-built 1-bit Huffman
+    table, EOB; entropy data is the single byte 0b01001000."""
+    import struct
+
+    import numpy as np
+
+    from ares_spark.operators.multimodal import _ZIGZAG, decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qt = np.full((8, 8), 16, dtype=int)
+    dqt = seg(0xDB, bytes([0]) + bytes(int(qt[r, c]) for r, c in _ZIGZAG))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # DC table: one code '0' (len 1) -> symbol 6; AC table: '0' -> EOB
+    dht_dc = seg(0xC4, bytes([0x00, 1] + [0] * 15) + bytes([6]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    blob = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + bytes([0b01001000]) + b"\xff\xd9")
+    out = decode_jpeg(blob)
+    # DC 36 × q 16 = 576; IDCT constant 576/8 = 72; +128 = 200
+    assert out.shape == (8, 8, 3) and (out == 200).all()
+
+
+def test_jpeg_refuses_unsupported_variants():
+    """Progressive (SOF2) and subsampled streams fail loudly — never a
+    silent mis-decode."""
+    import re
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8)))
+    i = blob.find(b"\xff\xc0")
+    prog = bytes(blob[:i + 1]) + b"\xc2" + bytes(blob[i + 2:])
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(prog)
+    sub = bytearray(blob)
+    sub[i + 11] = 0x22  # luma sampling 2x2
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(sub))
+
+
+def test_jpeg_media_features_through_engine(spark):
+    """decode_image_features over real JPEG payloads: exact luma per the
+    construction (flat even gray) — the Spark path m01 rides on."""
+    from pyspark.sql import functions as F
+
+    from ares_spark.operators.multimodal import decode_image_features, synth_media_jpeg
+
+    got = {r.media_id: r.mean_luma
+           for r in decode_image_features(synth_media_jpeg(spark, n=4)).collect()}
+    assert got == {"j0000": 84.0, "j0001": 136.0, "j0002": 188.0, "j0003": 240.0}
