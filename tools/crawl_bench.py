@@ -25,17 +25,27 @@ CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
 
 def main() -> None:
+    import os
+
     from ares_spark.crawl import CrawlConfig, run_crawl
     from ares_spark.io.synth import synth_linked_pages
     from ares_spark.session import get_spark
 
     spark = get_spark("crawl-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
-    pages_dir = tempfile.mkdtemp(prefix="ares_crawlbench_pages_")
-    pages_df, seed_url = synth_linked_pages(
-        spark, N_PAGES, n_hosts=max(N_PAGES // 400, 8), fanout=8, partitions=CPUS * 2
+    # ARES_CRAWLBENCH_PAGES_DIR: reuse a pre-materialized pages table so
+    # two cluster-size runs (tools/crawl_scaling_bench.py) crawl IDENTICAL
+    # input; unset → generate a fresh one
+    pages_dir = os.environ.get("ARES_CRAWLBENCH_PAGES_DIR") or tempfile.mkdtemp(
+        prefix="ares_crawlbench_pages_"
     )
-    pages_df.write.mode("overwrite").parquet(pages_dir)
+    seed_url = "https://site000.example.org/p0.html"  # synth_linked_pages page 0
+    if not (Path(pages_dir) / "_SUCCESS").exists():
+        pages_df, seed_url = synth_linked_pages(
+            spark, N_PAGES, n_hosts=max(N_PAGES // 400, 8), fanout=8,
+            partitions=CPUS * 2,
+        )
+        pages_df.write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
 
     ckpt = tempfile.mkdtemp(prefix="ares_crawlbench_ckpt_")
