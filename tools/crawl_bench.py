@@ -13,6 +13,7 @@ Prints one JSON line and appends a section to BENCH.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -22,11 +23,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+# link fanout shapes the BFS ramp: fanout 8 ≈ log_8(n) generations of
+# which the first ~5 are tiny (pure scheduling latency); a wide fanout
+# (e.g. 64) models the 10^10-frontier steady state where every
+# generation is budget-capped huge and ramp-up is negligible
+FANOUT = int(os.environ.get("ARES_CRAWLBENCH_FANOUT", "8"))
 
 
 def main() -> None:
-    import os
-
     from ares_spark.crawl import CrawlConfig, run_crawl
     from ares_spark.io.synth import synth_linked_pages
     from ares_spark.session import get_spark
@@ -42,7 +46,7 @@ def main() -> None:
     seed_url = "https://site000.example.org/p0.html"  # synth_linked_pages page 0
     if not (Path(pages_dir) / "_SUCCESS").exists():
         pages_df, seed_url = synth_linked_pages(
-            spark, N_PAGES, n_hosts=max(N_PAGES // 400, 8), fanout=8,
+            spark, N_PAGES, n_hosts=max(N_PAGES // 400, 8), fanout=FANOUT,
             partitions=CPUS * 2,
         )
         pages_df.write.mode("overwrite").parquet(pages_dir)
@@ -72,6 +76,7 @@ def main() -> None:
         "metric": "crawl_loop_urls_per_sec",
         "n_pages": N_PAGES,
         "cpus": CPUS,
+        "fanout": FANOUT,
         "generations": summary["generation"] + 1,
         "urls_visited": visits,
         "seen_total": summary.get("seen_total"),
