@@ -1041,6 +1041,90 @@ def _w01_oracle() -> str:
     return _case_oracle(rows, "url, ts_unix, http_status, mime, n_bytes, body_sha")
 
 
+_W02_DOCS = [
+    # (url, iso_date, text) — construction-known WET corpus
+    ("https://wet.example.org/a", "2026-03-01T00:00:00Z",
+     "alpha beta gamma delta"),
+    ("https://wet.example.org/b", "2026-03-01T00:05:00Z",
+     "héllo wörld 😀 multibyte"),
+    ("https://wet.example.org/c", "2026-03-02T08:30:00Z",
+     "  leading and trailing  "),
+]
+
+_W03_PAGES = [
+    # (url, iso_date, links, title) — construction-known WAT corpus
+    ("https://wat.example.org/a", "2026-03-01T00:00:00Z",
+     ["https://wat.example.org/b", "https://x.example.org/c"], "Page A"),
+    ("https://wat.example.org/b", "2026-03-01T00:05:00Z",
+     ["https://wat.example.org/a"], None),
+    ("https://wat.example.org/c", "2026-03-02T08:30:00Z", [], "Empty"),
+]
+
+
+def q_w02_wet_documents(spark, sf_dir):
+    """WET source (io/wetwat.py): Common Crawl's extracted-text artifact
+    read through the distributed conversion-record reader and bridged to
+    the documents-table shape — the entry point from a CC segment into
+    the training-data ops. Oracle = the construction-known corpus
+    (char counts + text bytes pinned via sha256)."""
+    import tempfile
+    from pathlib import Path
+
+    from ares_spark.io.wetwat import wet_documents, write_wet
+
+    d = Path(tempfile.mkdtemp(prefix="ares_w02_"))
+    write_wet(str(d / "a.wet.gz"),
+              [{"url": u, "date": t, "text": x} for u, t, x in _W02_DOCS[:2]])
+    write_wet(str(d / "b.wet.gz"),
+              [{"url": u, "date": t, "text": x} for u, t, x in _W02_DOCS[2:]])
+    return wet_documents(spark, str(d)).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_unix"),
+        F.length("text").alias("n_chars"),
+        F.sha2(F.encode("text", "utf-8"), 256).alias("text_sha"),
+    ).orderBy("url")
+
+
+def _w02_oracle() -> str:
+    import hashlib
+    from datetime import datetime, timezone
+
+    rows = []
+    for u, t, x in _W02_DOCS:
+        ts = int(datetime.fromisoformat(t.replace("Z", "+00:00"))
+                 .replace(tzinfo=timezone.utc).timestamp())
+        rows.append((u, ts, len(x), hashlib.sha256(x.encode()).hexdigest()))
+    rows.sort()
+    return _case_oracle(rows, "url, ts_unix, n_chars, text_sha")
+
+
+def q_w03_wat_links(spark, sf_dir):
+    """WAT source (io/wetwat.py): the per-page JSON metadata artifact;
+    the outlink table is extracted entirely JVM-side (get_json_object
+    through the dashed CC envelope keys + from_json + explode — no
+    Python in the row path), giving a frontier feed that never parses
+    HTML. Oracle = the construction-known link graph."""
+    import tempfile
+    from pathlib import Path
+
+    from ares_spark.io.wetwat import wat_links, write_wat
+
+    d = Path(tempfile.mkdtemp(prefix="ares_w03_"))
+    write_wat(str(d / "a.wat.gz"),
+              [{"url": u, "date": t, "links": ls, "title": ti}
+               for u, t, ls, ti in _W03_PAGES])
+    return wat_links(spark, str(d)).orderBy("src_url", "link_url")
+
+
+def _w03_oracle() -> str:
+    rows = sorted(
+        (u, link, "A@/href")
+        for u, _, links, _ in _W03_PAGES
+        for link in links
+    )
+    return _case_oracle(rows, "src_url, link_url, link_path")
+
+
 def q_m03_png_decode_luma(spark, sf_dir):
     """REAL PNG decode (stdlib zlib inflate + per-scanline unfiltering,
     CRC-verified chunk walk — multimodal.decode_png): the fixtures are
@@ -1452,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b04_history_keyset": q_b04_history_keyset,
         "a12b_skip_save": q_a12b_skip_save,
         "c06_job_control": q_c06_job_control,
+        "w02_wet_documents": q_w02_wet_documents,
+        "w03_wat_links": q_w03_wat_links,
         # the rest, roughly by operator family
         "a02_ssrf_guard": q_a02_ssrf_guard,
         "a04_politeness_budget": q_a04_politeness_budget,
@@ -1998,6 +2084,8 @@ def oracle_sql() -> dict[str, str]:
         "m03_png_decode_luma": _M03_ORACLE,
         "m04_mp4_frame_sample": _m04_oracle(),
         "w01_warc_source": _w01_oracle(),
+        "w02_wet_documents": _w02_oracle(),
+        "w03_wat_links": _w03_oracle(),
         "d07_embedding_cosine_pairs": """
             with s as (select vec_id, embedding::double[] as e from embeddings),
             pairs as (
