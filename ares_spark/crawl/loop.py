@@ -353,10 +353,15 @@ def run_crawl(
     robots_raw: dict[str, str] | DataFrame | None = None,
     schema: dict | None = None,
     session_id: str | None = None,
+    seed_df: DataFrame | None = None,
 ) -> dict:
     """Run a crawl session to completion (or max_generations). Returns the
     summary dict of the final manifest. ``robots_raw`` may be a dict or a
-    (host, robots_txt) DataFrame — pass the table form at web scale."""
+    (host, robots_txt) DataFrame — pass the table form at web scale.
+    ``seed_df``: a url DataFrame seeded distributively
+    (seed_frontier_from_df) instead of the driver-side ``seed_urls``
+    list — required when the bootstrap (e.g. a WAT link graph) is too
+    big for the driver; ``seed_urls`` is ignored when given."""
     cfg = cfg or CrawlConfig()
     session_id = session_id or str(uuid.uuid4())
     store = SnapshotStore(checkpoint_dir)
@@ -366,13 +371,18 @@ def run_crawl(
         _, _, schema = SchemaRegistry().resolve(cfg.schema_spec)
     t0 = 0.0
     flog = FrontierLog(store, compact_interval=cfg.compact_interval)
-    flog.write_base(seed_frontier(spark, seed_urls, cfg, session_id, t0), 0)
+    if seed_df is not None:
+        base = seed_frontier_from_df(seed_df, cfg, session_id, t0)
+    else:
+        base = seed_frontier(spark, seed_urls, cfg, session_id, t0)
+    flog.write_base(base, 0)
     # read the base back: the hot path and the resume path share one code
     # path, and the frontier's lineage starts at parquet every generation
     frontier = flog.read_live(spark, -1)
+    n_seeds = frontier.count() if seed_df is not None else len(seed_urls)
     seen = spark.createDataFrame([], SEEN_SCHEMA)
     state = CrawlState(
-        store, flog, frontier, seen, t0, len(seed_urls), 0, CircuitBreaker(**cfg.breaker), 0
+        store, flog, frontier, seen, t0, n_seeds, 0, CircuitBreaker(**cfg.breaker), 0
     )
     # persist config for resume
     (store.root / "config.json").write_text(
@@ -970,3 +980,47 @@ def job_control(
     }
     store.write_manifest(g + 1, summary)
     return summary
+
+
+def seed_frontier_from_df(
+    links: DataFrame, cfg: CrawlConfig, session_id: str, t0: float = 0.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Distributed frontier seeding — the scale path for bootstraps too
+    big for the driver-side list (a WAT link graph, a 10^9-row seed
+    table). Canonicalize (Arrow-batched) → distinct → deterministic
+    0-based created_seq via the auto-switching global rank (alphabetical
+    url order — reproducible at any partitioning) → frontier rows, no
+    driver materialization anywhere. Feed to run_crawl(seed_df=...)."""
+    from ares_spark.functions.urls import canonical_url_col
+
+    urls = (
+        links.select(canonical_url_col(F.col(url_col)).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+    )
+    ranked = global_order_rank(urls, [F.col("url").asc()], out_col="__seq")
+    seq0 = (F.col("__seq") - 1).cast("long")
+    return ranked.select(
+        F.md5(F.concat_ws(":", F.lit(session_id), seq0.cast("string"), F.col("url"))).alias("job_id"),
+        F.col("url"),
+        url_hash_col("url").alias("url_hash"),
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        host_shard_col(F.regexp_extract("url", _HOST_RE, 1), cfg.n_shards).alias("host_shard"),
+        F.lit(cfg.schema_spec).alias("schema_name"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("retry_count"),
+        F.lit(cfg.max_retries).alias("max_retries"),
+        F.lit(None).cast("double").alias("next_retry_at"),
+        seq0.alias("created_seq"),
+        F.lit(t0).alias("created_at"),
+        F.lit(session_id).alias("crawl_session_id"),
+        F.lit(None).cast("string").alias("parent_job_id"),
+        F.lit(0).alias("depth"),
+        F.lit(1.0 if cfg.score_mode == "parent_decay" else 0.0).alias("score"),
+        F.lit(cfg.max_depth).alias("max_depth"),
+        F.lit(cfg.max_pages).alias("max_pages"),
+        F.array(*[F.lit(d) for d in cfg.allowed_domains]).cast("array<string>").alias("allowed_domains"),
+        F.lit(0).alias("generation"),
+        F.lit(None).cast("string").alias("error"),
+    ).select(*[f.name for f in FRONTIER_SCHEMA.fields])

@@ -139,3 +139,22 @@ def domain_allowed(host: str | None, allowed: list[str] | None) -> bool:
         if host == d or host.endswith("." + d):
             return True
     return False
+
+
+def canonical_url_col(col):
+    """Vectorized column form of canonicalize_url (Arrow-batched pandas
+    UDF; nulls for unparseable inputs). For ingesting EXTERNAL url
+    tables — WAT link graphs, seed lists — whose urls are not already
+    canonical; the crawl loop's own links are canonicalized at
+    discovery time and never pay this."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def canon(urls):
+        return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would stringify inline hints, which PySpark's
+    # type-hint inference cannot resolve here
+    canon.__annotations__ = {"urls": pd.Series, "return": pd.Series}
+    return pandas_udf(canon, "string")(col)

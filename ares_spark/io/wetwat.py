@@ -248,3 +248,55 @@ def write_wat(path: str, records: list[dict], per_record_gzip: bool = True) -> N
             _json.dumps(envelope, separators=(",", ":")).encode(),
         ))
     _write_records(path, recs, per_record_gzip)
+
+
+def write_wet_dataset(df: DataFrame, out_dir: str) -> int:
+    """Distributed WET sink — the crawl's output as a Common Crawl
+    artifact: each partition writes one ``part-NNNNN.wet.gz`` (one gzip
+    member per conversion record). Expects columns (url, warc_ts, text);
+    rows with null url/text are skipped. Task retries are idempotent
+    (tmp + rename, partition-deterministic names). Returns rows written.
+
+    This closes the CC loop: WARC/WAT in → crawl/extract → WET out, so a
+    downstream training-data pipeline can consume the engine's output
+    with the same read_wet used for upstream CC segments."""
+    import os
+    import uuid as _uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.select("url", "warc_ts", "text")
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.wet.gz")
+        tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
+        n = 0
+        with open(tmp, "wb") as out:
+            for pdf in batches:
+                for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                    if url is None or text is None:
+                        continue
+                    when = "" if ts is None else (
+                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    )
+                    payload = str(text).encode()
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: conversion\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        + (f"WARC-Date: {when}\r\n" if when else "")
+                        + "Content-Type: text/plain\r\n"
+                        f"Content-Length: {len(payload)}\r\n\r\n"
+                    ).encode()
+                    out.write(gzip.compress(head + payload + b"\r\n\r\n"))
+                    n += 1
+        if n:
+            os.replace(tmp, final)  # atomic publish; retries overwrite
+        else:
+            os.unlink(tmp)
+        yield pd.DataFrame({"n": [n]})
+
+    counts = src.mapInPandas(dump, schema="n long").collect()  # 1 row/partition
+    return int(sum(r.n for r in counts))

@@ -101,3 +101,81 @@ def test_wat_links_roundtrip_and_jvm_only_extraction(spark, tmp_path):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     titles = {r.url: r.title for r in wat_titles(spark, str(tmp_path)).collect()}
     assert titles == {"https://s.example.org/a": "A", "https://s.example.org/b": None}
+
+
+def test_wet_dataset_sink_roundtrip(spark, tmp_path):
+    """Distributed WET sink: the engine's output read back by its own
+    reader — urls, timestamps and text byte-identical; idempotent
+    partition-deterministic file names."""
+    from ares_spark.io.wetwat import read_wet, write_wet_dataset
+
+    df = spark.createDataFrame(
+        [(f"https://o.example.org/p{i}", "2026-03-01 00:00:00",
+          f"text body {i} " * 3) for i in range(40)],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).repartition(4)
+    out = tmp_path / "wet_out"
+    n = write_wet_dataset(df, str(out))
+    assert n == 40
+    files = sorted(p.name for p in out.glob("part-*.wet.gz"))
+    assert len(files) == 4 and files[0].startswith("part-000")
+    back = read_wet(spark, str(out))
+    got = sorted((r.url, r.text) for r in back.collect())
+    want = sorted((r.url, r.text) for r in df.collect())
+    assert got == want
+    assert back.filter("warc_ts is null").count() == 0
+
+
+def test_crawl_seeded_from_wat_link_graph(spark, tmp_path):
+    """WAT → frontier: a crawl seeded distributively from a WAT link
+    graph (seed_df path, no driver-side url list) visits the same pages
+    in the same order as the list-seeded crawl."""
+    from ares_spark.crawl import CrawlConfig, run_crawl
+    from ares_spark.crawl.checkpoint import SnapshotStore
+    from ares_spark.io.synth import CRAWL_SEED_URL, crawl_site_pages
+    from ares_spark.io.wetwat import wat_links, write_wat
+
+    write_wat(str(tmp_path / "seed.wat.gz"), [
+        {"url": "https://hub.example.net/", "date": "2026-03-01T00:00:00Z",
+         "links": [CRAWL_SEED_URL], "title": "Hub"},
+    ])
+    site = crawl_site_pages(spark)
+    cfg = CrawlConfig(schema_spec="blog@latest", max_depth=1,
+                      use_bloom=False, max_generations=10)
+
+    def visits(ck):
+        store = SnapshotStore(ck)
+        return sorted(
+            (r.visit_pos, r.url, r.outcome)
+            for r in store.read_all_batches(spark, "visits").collect()
+        )
+
+    ck_list = str(tmp_path / "ck_list")
+    run_crawl(spark, site, [CRAWL_SEED_URL], ck_list, cfg, session_id="s1")
+    ck_wat = str(tmp_path / "ck_wat")
+    seeds = wat_links(spark, str(tmp_path)).select(F.col("link_url").alias("url"))
+    run_crawl(spark, site, [], ck_wat, cfg, session_id="s1", seed_df=seeds)
+    assert visits(ck_list) == visits(ck_wat)
+
+
+def test_seed_frontier_from_df_deterministic_and_schema(spark):
+    from ares_spark.crawl.frontier import FRONTIER_SCHEMA
+    from ares_spark.crawl.loop import CrawlConfig, seed_frontier_from_df
+
+    cfg = CrawlConfig(allowed_domains=["example.org"])
+    urls = spark.createDataFrame(
+        [(f"HTTPS://Site{i % 7}.example.org:443/p/../q{i}",) for i in range(50)]
+        + [("https://site0.example.org/q0",)],  # dup after canonicalization? no — q0 differs
+        "url string",
+    )
+    a = seed_frontier_from_df(urls.repartition(13), cfg, "sess")
+    b = seed_frontier_from_df(urls.repartition(2), cfg, "sess")
+    rows_a = sorted((r.url, r.created_seq, r.job_id) for r in a.collect())
+    rows_b = sorted((r.url, r.created_seq, r.job_id) for r in b.collect())
+    assert rows_a == rows_b  # partition-invariant seq + ids
+    assert [f.name for f in a.schema.fields] == [f.name for f in FRONTIER_SCHEMA.fields]
+    one = a.first()
+    assert one.url.startswith("https://site") and ":443" not in one.url
+    assert one.allowed_domains == ["example.org"] and one.status == "pending"
+    seqs = sorted(r.created_seq for r in a.collect())
+    assert seqs == list(range(len(seqs)))  # dense 0-based
