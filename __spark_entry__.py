@@ -1428,6 +1428,58 @@ _C06_ORACLE = """
 """
 
 
+def q_c07_cc_roundtrip(spark, sf_dir):
+    """The whole Common-Crawl loop in ONE query: the reference fixture
+    corpus packed into a per-record-gzip WARC → warc_pages → the fused
+    scrape pipeline → the DISTRIBUTED WET sink → read back with
+    read_wet. The text must be byte-identical to the pinned cleaner
+    goldens after BOTH container hops (the north_rule byte-identity
+    invariant carried in and out of CC artifact formats)."""
+    import tempfile
+    from pathlib import Path
+
+    from ares_spark.io.warc import warc_pages, write_warc
+    from ares_spark.io.wetwat import read_wet, write_wet_dataset
+    from ares_spark.schemas import SchemaRegistry
+
+    d = Path(tempfile.mkdtemp(prefix="ares_c07_"))
+    write_warc(str(d / "in.warc.gz"), [
+        {"url": f"https://cc.example.org/{n.replace('/', '-')}",
+         "date": "2026-03-01T00:00:00Z",
+         "body": Path(f"{_FIXDIR}/{n}.html").read_bytes()}
+        for n in _FIXTURES
+    ])
+    _, _, schema = SchemaRegistry().resolve("blog")
+    from ares_spark.operators.pipeline import scrape_batch
+
+    out = scrape_batch(warc_pages(spark, str(d)), schema, "blog",
+                       batch_ts="2026-03-01 00:00:00")
+    wet_dir = str(d / "out_wet")
+    write_wet_dataset(
+        out.select("url", F.col("created_at").alias("warc_ts"), "text"), wet_dir
+    )
+    return read_wet(spark, wet_dir).select(
+        "url",
+        F.sha2(F.encode("text", "utf-8"), 256).alias("text_sha256"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("url")
+
+
+def _c07_oracle() -> str:
+    """Expected = the pinned cleaner goldens, keyed by the WARC urls —
+    independent of the engine at query time (same provenance as c01)."""
+    import hashlib
+    from pathlib import Path
+
+    rows = []
+    for n in _FIXTURES:
+        text = (Path(__file__).parent / _GOLDEN_DIR / f"{n}.md").read_text()
+        rows.append((f"https://cc.example.org/{n.replace('/', '-')}",
+                     hashlib.sha256(text.encode()).hexdigest(), len(text)))
+    rows.sort()
+    return _case_oracle(rows, "url, text_sha256, n_chars")
+
+
 def q_c03_extraction_fixtures(spark, sf_dir):
     """A8/A9 structured-extraction parity across ALL 11 registry schemas:
     the six reference fixtures plus five synthesized fixtures
@@ -1538,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c06_job_control": q_c06_job_control,
         "w02_wet_documents": q_w02_wet_documents,
         "w03_wat_links": q_w03_wat_links,
+        "c07_cc_roundtrip": q_c07_cc_roundtrip,
         # the rest, roughly by operator family
         "a02_ssrf_guard": q_a02_ssrf_guard,
         "a04_politeness_budget": q_a04_politeness_budget,
@@ -2086,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "w01_warc_source": _w01_oracle(),
         "w02_wet_documents": _w02_oracle(),
         "w03_wat_links": _w03_oracle(),
+        "c07_cc_roundtrip": _c07_oracle(),
         "d07_embedding_cosine_pairs": """
             with s as (select vec_id, embedding::double[] as e from embeddings),
             pairs as (
