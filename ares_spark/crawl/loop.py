@@ -86,6 +86,28 @@ _HOST_RE = r"^https?://(?:[^@/]*@)?([^/:?#]+)"
 _TIMING = os.environ.get("ARES_LOOP_TIMING") == "1"
 
 
+def _parallel_actions(*thunks) -> None:
+    """Run independent Spark ACTIONS concurrently (one thread each; Spark
+    schedules jobs from multiple threads natively) with a barrier at the
+    end; the first exception re-raises. The per-generation control plane
+    is a handful of small jobs whose cost is driver/scheduler LATENCY,
+    not compute (measured ~1-1.5s each, flat in cores and data size —
+    BENCH.md round-4 campaign); overlapping them cuts the serial section
+    Amdahl charges every generation. Only actions with no data
+    dependency and no shared driver-side mutable state go in one group;
+    concurrent materialization of a shared cached DataFrame is safe
+    (Spark's cache manager locks per partition).
+    """
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        for f in [ex.submit(t) for t in thunks]:
+            f.result()
+
+
 def _tick(label: str, t0: float, g: int | None = None) -> float:
     now = time.time()
     if _TIMING:
@@ -632,17 +654,17 @@ def _run_generation(
     # extraction lineage (and its prior-join) a second time.
     from ares_spark.operators.pipeline import latest_per_key
 
-    ext_delta = latest_per_key(
-        state.store.read_batch(spark, "extractions", g).select(
-            "url", "data_hash", "claim_pos"
-        ),
-        ["url"],
-        order_col="claim_pos",
-        tiebreak=None,
-    )
-    state.elog.append_delta(ext_delta, g)
-    state.elog.maybe_compact(spark, g)
-    t0 = _tick("extractions_latest_delta", t0, g)
+    def _elog_delta():
+        ext_delta = latest_per_key(
+            state.store.read_batch(spark, "extractions", g).select(
+                "url", "data_hash", "claim_pos"
+            ),
+            ["url"],
+            order_col="claim_pos",
+            tiebreak=None,
+        )
+        state.elog.append_delta(ext_delta, g)
+        state.elog.maybe_compact(spark, g)
 
     # --- visit log (claim events, reference trace order) ----------------------
     visits = fetched.select(
@@ -651,8 +673,13 @@ def _run_generation(
         F.when(F.col("html").isNotNull(), "completed").otherwise("fetch_error").alias("outcome"),
         F.lit(g).alias("generation"),
     )
-    state.store.append_batch(visits, "visits", g)
-    t0 = _tick("visits_append", t0, g)
+
+    def _visits_append():
+        state.store.append_batch(visits, "visits", g)
+
+    # independent writes to different tables — overlap their job latency
+    _parallel_actions(_elog_delta, _visits_append)
+    t0 = _tick("extractions_latest_delta+visits_append(par)", t0, g)
 
     # --- spider: next-generation children -------------------------------------
     spider_src = processed.filter(
@@ -836,56 +863,69 @@ def _run_generation(
         F.lit(state.batch_ts).alias("created_at"),
     )
 
-    if state.bloom_set is not None:
-        # distributed read-modify-write of the per-shard sidecars — the
-        # update itself persists them (resume picks the files back up)
-        state.bloom_set.update(new_seen, generation=g)
-
     # --- lineage + snapshots ----------------------------------------------------
-    # lineage aggregates stay in Spark: the driver collects ≤ n_shards rows
-    # for the manifest plus a BOUNDED breaker feed — failing hosts (top-K by
-    # errors) and already-tracked hosts only, never every host in the batch
-    # persist: one groupBy over the (cached) batch feeds BOTH the shard
-    # rollup and the breaker feed — without it each consumer re-aggregates
-    host_stats = fetched.groupBy("host", "host_shard").agg(
-        F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
-        F.sum(F.col("html").isNull().cast("int")).alias("err"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    shard_rows = (
-        host_stats.groupBy("host_shard")
-        .agg(F.sum("ok").alias("ok"), F.sum("err").alias("err"))
-        .collect()
-    )
-    feed = host_stats.filter(F.col("err") > 0).orderBy(
-        F.col("err").desc(), "host"
-    ).limit(cfg.breaker_feed_top_k)
-    if state.breaker.hosts:
-        tracked_df = spark.createDataFrame(
-            [(h,) for h in sorted(state.breaker.hosts)], "host string"
+    # four INDEPENDENT actions (different tables / disjoint driver state)
+    # run concurrently — their cost is job latency, not compute, and the
+    # barrier below is the only ordering the manifest commit needs:
+    #   1. bloom sidecar RMW (new_seen)
+    #   2. host-shard stats + breaker feed (fetched; mutates state.breaker
+    #      ONLY in this thunk). Driver collects ≤ n_shards rows + a
+    #      BOUNDED top-K failing-host feed — never every host
+    #   3. frontier delta append (delta)
+    #   4. url_seen append — INSERT-only (ON CONFLICT DO NOTHING
+    #      semantics): per-generation appends, O(new links), never a
+    #      rewrite of the 10^10-row set
+    shard_rows: list = []
+
+    def _bloom_update():
+        if state.bloom_set is not None:
+            # distributed read-modify-write of the per-shard sidecars — the
+            # update itself persists them (resume picks the files back up)
+            state.bloom_set.update(new_seen, generation=g)
+
+    def _stats_and_breaker():
+        # persist: one groupBy over the (cached) batch feeds BOTH the
+        # shard rollup and the breaker feed
+        host_stats = fetched.groupBy("host", "host_shard").agg(
+            F.sum(F.col("html").isNotNull().cast("int")).alias("ok"),
+            F.sum(F.col("html").isNull().cast("int")).alias("err"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        shard_rows.extend(
+            host_stats.groupBy("host_shard")
+            .agg(F.sum("ok").alias("ok"), F.sum("err").alias("err"))
+            .collect()
         )
-        feed = feed.unionByName(
-            host_stats.join(F.broadcast(tracked_df), "host", "left_semi")
-        ).dropDuplicates(["host"])
-    for r in feed.collect():
-        state.breaker.record(r.host, int(r.ok), int(r.err), g)
-    host_stats.unpersist()
-    t0 = _tick("hostshard_stats_collect", t0, g)
+        feed = host_stats.filter(F.col("err") > 0).orderBy(
+            F.col("err").desc(), "host"
+        ).limit(cfg.breaker_feed_top_k)
+        if state.breaker.hosts:
+            tracked_df = spark.createDataFrame(
+                [(h,) for h in sorted(state.breaker.hosts)], "host string"
+            )
+            feed = feed.unionByName(
+                host_stats.join(F.broadcast(tracked_df), "host", "left_semi")
+            ).dropDuplicates(["host"])
+        for r in feed.collect():
+            state.breaker.record(r.host, int(r.ok), int(r.err), g)
+        host_stats.unpersist()
+
+    def _frontier_delta():
+        state.flog.append_delta(delta, g)
+
+    def _url_seen_append():
+        state.store.append_batch(new_seen, "url_seen", g)
+
+    _parallel_actions(_bloom_update, _stats_and_breaker, _frontier_delta,
+                      _url_seen_append)
+    t0 = _tick("stats+bloom+delta+url_seen(par)", t0, g)
     shard_stats: dict[int, dict] = {}
     for r in shard_rows:
         shard_stats[int(r.host_shard)] = {"fetched": int(r.ok), "errors": int(r.err)}
 
     n_batch = int(sum(s["fetched"] + s["errors"] for s in shard_stats.values()))
-    state.flog.append_delta(delta, g)
-    t0 = _tick("frontier_delta_append", t0, g)
     compacted = state.flog.maybe_compact(spark, g)
     if compacted:
         t0 = _tick("frontier_compact", t0, g)
-    # url_seen is INSERT-only (ON CONFLICT DO NOTHING semantics), so it
-    # checkpoints as per-generation appends — O(new links), never a
-    # rewrite of the 10^10-row set. Readers union the log
-    # (SnapshotStore.read_all_batches('url_seen')).
-    state.store.append_batch(new_seen, "url_seen", g)
-    t0 = _tick("url_seen_append", t0, g)
     # bound the dir count of the append-only logs (Iceberg bin-packing,
     # emulated): fold only generations ≤ the last PUBLISHED manifest —
     # a crashed generation re-runs with overwrite-by-dir idempotency,
