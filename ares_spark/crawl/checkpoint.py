@@ -29,14 +29,45 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _success_markers_enabled() -> bool:
+    """Whether Spark's committer writes ``_SUCCESS`` at all. Managed
+    clusters commonly set mapreduce.fileoutputcommitter.marksuccessfuljobs
+    =false; requiring the marker there would make every valid checkpoint
+    invisible and break resume. Fall back to dir-exists in that case (the
+    crash-mid-write protection the marker gives is then the committer's
+    own job-level atomicity)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return True
+    key = id(spark)
+    cached = _MARKER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        v = conf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        result = str(v).lower() != "false"
+    except Exception:
+        result = True
+    _MARKER_CACHE[key] = result
+    return result
+
+
+_MARKER_CACHE: dict[int, bool] = {}
+
+
 def _committed(p: Path) -> bool:
     """A parquet dir is live only once Spark's job commit published its
     ``_SUCCESS`` marker. A crash DURING a merged-run/base write leaves a
     partial dir WITHOUT the marker; treating it as live would shadow the
     intact source dirs (covered-span dedup / latest-base-wins) and
     silently drop rows on resume. Partial dirs are skipped here and
-    overwritten by the re-run (every writer uses mode("overwrite"))."""
-    return p.is_dir() and (p / "_SUCCESS").exists()
+    overwritten by the re-run (every writer uses mode("overwrite")).
+    When the job conf disables success markers entirely, dir existence is
+    the only available signal — see _success_markers_enabled."""
+    if not p.is_dir():
+        return False
+    return (p / "_SUCCESS").exists() or not _success_markers_enabled()
 
 
 class SnapshotStore:

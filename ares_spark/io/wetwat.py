@@ -265,6 +265,12 @@ def write_wet_dataset(df: DataFrame, out_dir: str) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
     src = df.select("url", "warc_ts", "text")
+    # Arrow delivers Spark timestamps as naive values in the SESSION tz;
+    # capture it driver-side so tasks can restore the 'Z' suffix honestly
+    # (read_wet parses WARC-Date as tz-aware UTC — keep both sides matched).
+    session_tz = df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", None
+    ) or "UTC"
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -278,9 +284,18 @@ def write_wet_dataset(df: DataFrame, out_dir: str) -> int:
                 for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
                     if url is None or text is None:
                         continue
-                    when = "" if ts is None else (
-                        ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                    )
+                    # pd.isna, not `is None`: a null timestamp arrives as
+                    # NaT through Arrow and must mean "no WARC-Date header",
+                    # not a strftime crash mid-write-task.
+                    if pd.isna(ts):
+                        when = ""
+                    else:
+                        stamp = pd.Timestamp(ts)
+                        if stamp.tzinfo is None:  # naive session-local value
+                            stamp = stamp.tz_localize(session_tz)
+                        when = stamp.tz_convert("UTC").strftime(
+                            "%Y-%m-%dT%H:%M:%SZ"
+                        )
                     payload = str(text).encode()
                     head = (
                         "WARC/1.0\r\n"

@@ -583,7 +583,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     code <<= 1
                 huffs[(cls_tid >> 4, cls_tid & 0xF)] = table
                 i += 17 + nvals
+        elif marker == 0xDD:
+            # Restart intervals insert RSTn markers that reset the DC
+            # predictors; silently skipping them (as the entropy scan
+            # below does for locating data_end) would decode to garbage.
+            # Refuse loudly, same policy as SOF2/subsampling.
+            if _struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("jpeg: restart intervals (DRI) unsupported")
         elif marker == 0xDA:
+            if scan_comps:
+                raise ValueError("jpeg: multi-scan files unsupported")
             n = body[0]
             for ci in range(n):
                 cid, tids = body[1 + 2 * ci:3 + 2 * ci]

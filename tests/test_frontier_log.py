@@ -381,3 +381,27 @@ def test_read_full_latest_terminal_after_cancel_and_reset(spark, tmp_path):
     assert full2 == {"a": ("pending", 0), "b": ("pending", 0), "c": ("pending", 0)}
     live = {r.job_id for r in flog.read_live(spark, 2).collect()}
     assert live == {"a", "b", "c"}  # reset rows are claimable again
+
+
+def test_committed_falls_back_when_success_markers_disabled(spark, tmp_path):
+    """r5 ADVICE fix: managed clusters often set
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false, so no dir ever
+    gets a _SUCCESS marker; _committed must then fall back to dir-exists
+    instead of making every valid checkpoint invisible on resume."""
+    from ares_spark.crawl import checkpoint as cp
+
+    d = tmp_path / "nomarker"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    assert not cp._committed(d)  # markers enabled (default): marker required
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = conf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+    conf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    cp._MARKER_CACHE.clear()
+    try:
+        assert cp._committed(d)  # fallback: dir existence is the signal
+        assert not cp._committed(tmp_path / "absent")
+    finally:
+        conf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", prev)
+        cp._MARKER_CACHE.clear()

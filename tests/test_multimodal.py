@@ -368,6 +368,19 @@ def test_jpeg_refuses_unsupported_variants():
     sub[i + 11] = 0x22  # luma sampling 2x2
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(sub))
+    # r5 ADVICE: restart intervals reset DC predictors mid-scan; skipping
+    # RSTn silently would decode garbage — must refuse, like SOF2
+    dri = bytes(blob[:i]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(blob[i:])
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(dri)
+    # ...but a zero interval means "no restarts" and must stay decodable
+    dri0 = bytes(blob[:i]) + b"\xff\xdd\x00\x04\x00\x00" + bytes(blob[i:])
+    assert decode_jpeg(dri0).shape == (8, 8, 3)
+    # a second SOS (multi-scan baseline) must refuse, not extend the scan
+    assert blob[-2:] == b"\xff\xd9"
+    sos2 = bytes(blob[:-2]) + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(sos2)
 
 
 def test_jpeg_media_features_through_engine(spark):

@@ -108,3 +108,27 @@ def test_keyset_pagination_plan_no_global_window(spark):
             .select("event_id", F.unix_timestamp("ts").alias("ts_epoch")))
     want = [(r.event_id, r.ts_epoch) for r in offs.collect()]
     assert sorted(got) == sorted(want) and len(got) == 20
+
+
+def test_offset_and_claim_queries_plan_no_unpartitioned_window(spark):
+    """r5: a20_priority_frontier and b04_history_pagination were rewritten
+    from a global row_number window to distributed top-K
+    (TakeOrderedAndProject) + a bounded window over only the capped
+    survivors. Assert the shape: TakeOrderedAndProject present, and every
+    remaining windowspecdefinition carries a partition expression (never a
+    sort-order token first), so nothing funnels the full table through a
+    single task."""
+    import re
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("a20_priority_frontier", "b04_history_pagination"):
+        q = e._query_registry()[name](spark, sf)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        for first_arg in specs:
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                f"{name}: unpartitioned window survives: {first_arg}"
+            )

@@ -126,6 +126,50 @@ def test_wet_dataset_sink_roundtrip(spark, tmp_path):
     assert back.filter("warc_ts is null").count() == 0
 
 
+def test_wet_sink_null_timestamp_row_survives(spark, tmp_path):
+    """r5 ADVICE fix: a null warc_ts arrives in the mapInPandas task as
+    pandas NaT (not None); the sink must treat it as missing (record
+    written WITHOUT a WARC-Date header), not crash the write task."""
+    from ares_spark.io.wetwat import read_wet, write_wet_dataset
+
+    df = spark.createDataFrame(
+        [("https://o.example.org/dated", "2026-03-01 00:00:00", "body a"),
+         ("https://o.example.org/undated", None, "body b")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).coalesce(1)
+    out = tmp_path / "wet_nat"
+    assert write_wet_dataset(df, str(out)) == 2
+    back = {r.url: (r.warc_ts, r.text) for r in read_wet(spark, str(out)).collect()}
+    assert back["https://o.example.org/undated"][0] is None
+    assert back["https://o.example.org/undated"][1] == "body b"
+    assert back["https://o.example.org/dated"][0] is not None
+
+
+def test_wet_sink_nonutc_session_tz_writes_true_utc(spark, tmp_path):
+    """r5 ADVICE fix: Arrow hands tasks naive session-local timestamps;
+    the sink must localize to the session tz and convert to UTC before
+    stamping the 'Z'-suffixed WARC-Date, so a non-UTC session does not
+    shift every date. read_wet's tz-aware parse round-trips the value."""
+    import gzip as _gz
+
+    from ares_spark.io.wetwat import write_wet_dataset
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("https://o.example.org/tz", "2026-03-01 12:00:00", "tz body")],
+            "url string, warc_ts string, text string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts")).coalesce(1)
+        out = tmp_path / "wet_tz"
+        assert write_wet_dataset(df, str(out)) == 1
+        raw = _gz.decompress((out / "part-00000.wet.gz").read_bytes()).decode()
+        # noon New York (EST, -05:00) == 17:00 UTC
+        assert "WARC-Date: 2026-03-01T17:00:00Z" in raw
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_crawl_seeded_from_wat_link_graph(spark, tmp_path):
     """WAT → frontier: a crawl seeded distributively from a WAT link
     graph (seed_df path, no driver-side url list) visits the same pages
