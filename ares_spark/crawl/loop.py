@@ -164,6 +164,15 @@ class CrawlConfig:
     # valid-but-UNCHANGED extractions are dropped before the append — the
     # prior row stays the latest; changed or first-time rows always persist
     persist_unchanged: bool = True
+    # A1 live half (fetcher.rs:149-186): "pages" joins the corpus table
+    # (sandbox default), "live" issues real GETs via crawl.httpfetch with
+    # the SSRF guard re-validated per request. Same downstream semantics:
+    # a live failure IS a missing pages row (retry/backoff/breaker).
+    fetch_mode: str = "pages"  # pages | live
+    fetch_timeout_s: float = 30.0  # reference default timeout (main.rs)
+    http_proxy: str | None = None  # absolute-form HTTP proxy (fetcher.rs:117)
+    fetch_delay_s: float = 0.0  # min per-host interval between live GETs
+    fetch_user_agent: str = "Ares/0.2 (AI Scraper)"  # fetcher.rs:123
 
 
 def seed_frontier(
@@ -572,10 +581,24 @@ def _run_generation(
     else:
         batch = batch.withColumn("visit_seq", F.col("claim_pos"))
 
-    # --- fetch (join against the pages table) --------------------------------
+    # --- fetch (pages-table join, or live HTTP when flagged) -----------------
     salt_n = cfg.salt_partitions or spark.sparkContext.defaultParallelism
+    if cfg.fetch_mode == "live":
+        from ares_spark.crawl.httpfetch import live_fetch
+
+        raw = live_fetch(
+            batch,
+            timeout_s=cfg.fetch_timeout_s,
+            proxy=cfg.http_proxy,
+            per_host_delay_s=cfg.fetch_delay_s,
+            ssrf=cfg.ssrf_filter,
+            user_agent=cfg.fetch_user_agent,
+            n_partitions=salt_n,
+        )
+    else:
+        raw = batch.join(pages.select("url", "html"), "url", "left")
     fetched = (
-        batch.join(pages.select("url", "html"), "url", "left")
+        raw
         # salted-host repartition: spread a hot host across all tasks before
         # the CPU-heavy parse stage (north_rule skew handling)
         .repartition(salt_n, F.col("host_shard"), F.pmod(F.col("url_hash"), F.lit(salt_n)))
@@ -847,9 +870,14 @@ def _run_generation(
         )
         .withColumn(
             "error",
-            F.when(fetch_failed, F.lit("fetch_error: url not in pages")).otherwise(
-                F.col("error")
-            ),
+            F.when(
+                fetch_failed,
+                # live mode carries the real failure (timeout / HTTP code /
+                # SSRF reason); pages mode has exactly one failure cause
+                F.coalesce(F.col("fetch_error"), F.lit("fetch_error"))
+                if "fetch_error" in fetched.columns
+                else F.lit("fetch_error: url not in pages"),
+            ).otherwise(F.col("error")),
         )
         .select(*frontier_cols)
     )
