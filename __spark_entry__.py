@@ -627,6 +627,26 @@ def q_d07_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_d07b_embedding_near_pairs_lsh(spark, sf_dir):
+    """d07's 100-TB path AS AN ENGINE OPERATOR (VERDICT r4 #6):
+    similarity.embedding_near_pairs — multi-table LSH bucket candidate
+    generation (equi self-join keyed on (table, bucket), one-side 1-bit
+    multiprobe) + exact-cosine confirm. Value-identical to the exact
+    all-pairs d07 at this scale (params chosen so every qualifying pair
+    collides in some table: planes=8, tables=16, multiprobe=1 — measured
+    candidate volume 7% of n²/2), and the plan contains NO cross join —
+    the only join is the bucket equi-join (plan-asserted in
+    tests/test_dedup_similarity.py)."""
+    from ares_spark.operators.similarity import embedding_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_pairs(
+        e, dim=64, threshold=0.45, planes=8, tables=16, multiprobe_bits=1
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cos4"))
+
+
 def q_s01_ann_bruteforce(spark, sf_dir):
     from ares_spark.operators.similarity import brute_force_topk
 
@@ -1674,6 +1694,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d05_dedup_exact_keep": q_d05_dedup_exact_keep,
         "d06_minhash_lsh_xx": q_d06_minhash_lsh_xx,
         "d07_embedding_cosine_pairs": q_d07_embedding_cosine_pairs,
+        "d07b_embedding_near_pairs_lsh": q_d07b_embedding_near_pairs_lsh,
         "d09_contamination": q_d09_contamination,
         "p01_stratified_sample": q_p01_stratified_sample,
         "s01_ann_bruteforce": q_s01_ann_bruteforce,
@@ -2198,6 +2219,21 @@ def oracle_sql() -> dict[str, str]:
         "w03_wat_links": _w03_oracle(),
         "c07_cc_roundtrip": _c07_oracle(),
         "d07_embedding_cosine_pairs": """
+            with s as (select vec_id, embedding::double[] as e from embeddings),
+            pairs as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) as cosine
+              from s a join s b on a.vec_id < b.vec_id
+            )
+            select id_a, id_b, round(cosine, 4) as cos4
+            from pairs where cosine >= 0.45
+        """,
+        # d07b: the LSH-bucketed engine path must equal the EXACT answer —
+        # same oracle as d07 (LSH only bounds which pairs are examined;
+        # every emitted pair is exact-cosine confirmed)
+        "d07b_embedding_near_pairs_lsh": """
             with s as (select vec_id, embedding::double[] as e from embeddings),
             pairs as (
               select a.vec_id as id_a, b.vec_id as id_b,

@@ -197,6 +197,66 @@ def lsh_ann_topk(
     )
 
 
+def embedding_near_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    planes: int = 8,
+    tables: int = 16,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at scale: multi-table LSH
+    bucket candidate generation + exact-cosine confirm — the packaged
+    100-TB path for what q_d07's all-pairs baseline computes exactly.
+
+    Shape: each row gets ``tables`` sign-bit signatures (one Arrow matmul
+    pass, table_signatures_col); candidates are rows sharing a
+    (table, bucket) key — an EQUI self-join, so the shuffle keys on
+    bucket and cost tracks sum(occupancy²) per table (dup density), never
+    n². One side additionally probes 1-bit bucket flips
+    (``multiprobe_bits``), covering Hamming-1 signature splits. Pairs
+    dedup on (id_a, id_b) before the exact cosine, and only pairs with
+    cosine ≥ ``threshold`` survive — so every emitted pair is EXACT; LSH
+    only bounds which pairs are examined (recall knob: tables up,
+    planes down, multiprobe on).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine exact rounded
+    to 6. At 10^9 rows raise ``planes`` so 2^planes tracks corpus size
+    and bucket occupancy stays task-sized.
+    """
+    spark = df.sparkSession
+    sigs = table_signatures_col(spark, F.col(vec_col), dim, planes, tables, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("__t", "__b")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"), "__t", "__b"
+    )
+    if multiprobe_bits >= 1:
+        variants = [F.col("__b")] + [
+            F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+        ]
+        left = left.select(
+            "id_a", "__ea", "__t", F.explode(F.array(*variants)).alias("__b")
+        )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"), "__t", "__b"
+    )
+    cand = (
+        left.join(right, ["__t", "__b"])  # equi-join on bucket — never a cross
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 # ---- IVF (inverted-file) ANN — the other scale path the brief names ----------
 
 
