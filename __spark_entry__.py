@@ -1006,7 +1006,14 @@ def q_m01_image_decode_luma(spark, sf_dir):
         decode_image_features, synth_media_jpeg, synth_media_real,
     )
 
-    media = synth_media_real(spark, n=12).unionByName(synth_media_jpeg(spark, n=4))
+    media = (
+        synth_media_real(spark, n=12)
+        .unionByName(synth_media_jpeg(spark, n=4))
+        # r5: PROGRESSIVE (SOF2) fixtures through the same decode path —
+        # spectral-selection + successive-approximation scans reconstruct
+        # the identical coefficients, so the analytic luma oracle holds
+        .unionByName(synth_media_jpeg(spark, n=2, progressive=True))
+    )
     return decode_image_features(media).select(
         "media_id", F.round("mean_luma", 3).alias("luma3")
     )
@@ -1257,6 +1264,10 @@ _M01_ORACLE = """
     -- luma (exact baseline-JPEG round-trip; see synth_media_jpeg)
     select * from (values ('j0000', 84.0), ('j0001', 136.0),
                           ('j0002', 188.0), ('j0003', 240.0)) j(media_id, luma3)
+    union all
+    -- progressive (SOF2) fixtures: same flat even-gray construction at
+    -- seed+1, decoded through the successive-approximation scan paths
+    select * from (values ('jp0000', 86.0), ('jp0001', 138.0)) p(media_id, luma3)
 """
 
 _M02_ORACLE = """

@@ -479,6 +479,225 @@ def encode_jpeg(px: np.ndarray, qt_luma: np.ndarray | None = None,
     return bytes(out)
 
 
+def encode_jpeg_progressive(px: np.ndarray, qt_luma: np.ndarray | None = None,
+                            qt_chroma: np.ndarray | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → PROGRESSIVE (SOF2)
+    JFIF bytes: spectral selection + one successive-approximation level.
+
+    Scan script (every decode path gets exercised):
+      1. DC first, all components interleaved, Al=1
+      2. DC refinement, Ah=1 → Al=0 (raw bits)
+      3. per component: AC first, Ss=1..Se=63, Al=1 (EOB-run coded)
+      4. per component: AC refinement, Ah=1 → Al=0 (correction bits)
+
+    Quantization is IDENTICAL to encode_jpeg, so a progressive encode of
+    an image decodes bit-for-bit equal to the baseline encode's decode —
+    the round-trip equality test that pins the scan machinery. Token
+    semantics follow ITU-T.81 G.1.2 (the same public semantics libjpeg's
+    phuff coder implements): DC point transform is an arithmetic shift,
+    AC is magnitude truncation toward zero; EOBn symbols carry
+    run-of-2^r extra bits; refinement buffers correction bits behind the
+    next emitted symbol."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps_px = [px.astype(np.float64)]
+        qts = [(_JPEG_QT_LUMA if qt_luma is None else qt_luma)]
+        qt_ids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        comps_px = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [(_JPEG_QT_LUMA if qt_luma is None else qt_luma),
+               (_JPEG_QT_CHROMA if qt_chroma is None else qt_chroma)]
+        qt_ids = [0, 1, 1]
+    bh, bw = -(-h // 8), -(-w // 8)
+    comp_zz: list[list[list[int]]] = []  # [comp][block] -> 64 zigzag ints
+    for ci, plane in enumerate(comps_px):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        q = qts[qt_ids[ci]]
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                b = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coefs = np.rint((_DCTM @ b @ _DCTM.T) / q).astype(np.int64)
+                blocks.append([int(coefs[r, c]) for r, c in _ZIGZAG])
+        comp_zz.append(blocks)
+    ncomp = len(comp_zz)
+    n_blocks = bh * bw
+
+    # ---- tokenize each scan: ('sym', tid, s) | ('raw', value, nbits) ----
+    AL = 1
+
+    def dc_first_tokens():
+        toks, pred = [], [0] * ncomp
+        for m in range(n_blocks):
+            for ci in range(ncomp):
+                v = comp_zz[ci][m][0] >> AL  # DC point transform: arith shift
+                size, bits = _mag_bits(v - pred[ci])
+                pred[ci] = v
+                toks.append(("sym", 0 if ci == 0 else 1, size))
+                if size:
+                    toks.append(("raw", bits, size))
+        return toks
+
+    def dc_refine_tokens():
+        return [
+            ("raw", (comp_zz[ci][m][0] >> 0) & 1, 1)
+            for m in range(n_blocks)
+            for ci in range(ncomp)
+        ]
+
+    def _pt_ac(v: int) -> int:  # AC point transform: truncate toward zero
+        return v >> AL if v >= 0 else -((-v) >> AL)
+
+    def ac_first_tokens(ci: int):
+        toks, eobrun = [], 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                toks.append(("sym", 0, r << 4))
+                if r:
+                    toks.append(("raw", eobrun - (1 << r), r))
+                eobrun = 0
+
+        for m in range(n_blocks):
+            band = [_pt_ac(v) for v in comp_zz[ci][m][1:64]]
+            last_nz = max((k for k, t in enumerate(band) if t), default=-1)
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for t in band[:last_nz + 1]:
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("sym", 0, 0xF0))
+                    run -= 16
+                size, bits = _mag_bits(t)
+                toks.append(("sym", 0, (run << 4) | size))
+                toks.append(("raw", bits, size))
+                run = 0
+            if last_nz < 62:
+                eobrun = 1
+        flush()
+        return toks
+
+    def ac_refine_tokens(ci: int):
+        toks, eobrun, be = [], 0, []
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                toks.append(("sym", 0, r << 4))
+                if r:
+                    toks.append(("raw", eobrun - (1 << r), r))
+                eobrun = 0
+                toks.extend(be)
+                be = []
+
+        for m in range(n_blocks):
+            zz = comp_zz[ci][m]
+            absv = [abs(zz[k]) for k in range(1, 64)]  # refine Al=0: no shift
+            eob = max((k for k, t in enumerate(absv) if t == 1), default=-1)
+            r, br = 0, []
+            for k, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush()
+                    toks.append(("sym", 0, 0xF0))
+                    r -= 16
+                    toks.extend(br)
+                    br = []
+                if t > 1:
+                    br.append(("raw", t & 1, 1))
+                    continue
+                flush()
+                toks.append(("sym", 0, (r << 4) | 1))
+                toks.append(("raw", 1 if zz[1 + k] > 0 else 0, 1))
+                toks.extend(br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        return toks
+
+    # ---- assemble segments ----
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, table) -> bytes:
+        bits, vals, _ = table
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, dc_tid, ac_tid in scan_comps:
+            body += bytes([cid, (dc_tid << 4) | ac_tid])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def entropy(toks, tables) -> bytes:
+        bw_ = _BitWriter()
+        for tok in toks:
+            if tok[0] == "sym":
+                _, tid, s = tok
+                code, clen = tables[tid][2][s]
+                bw_.put(code, clen)
+            else:
+                _, v, nb = tok
+                bw_.put(v, nb)
+        return bw_.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qid in sorted(set(qt_ids)):
+        zzq = bytes(int(qts[qid][r, c]) for r, c in _ZIGZAG)
+        out += seg(0xDB, bytes([qid]) + zzq)
+    sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qt_ids[ci]])  # 1x1 sampling
+    out += seg(0xC2, sof)  # SOF2 progressive
+
+    def scan_tables(toks):
+        syms: dict[int, set] = {}
+        for tok in toks:
+            if tok[0] == "sym":
+                syms.setdefault(tok[1], set()).add(tok[2])
+        return {tid: _canonical_table(s) for tid, s in syms.items()}
+
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    # scan 1: DC first (interleaved, Al=1)
+    toks = dc_first_tokens()
+    tables = scan_tables(toks)
+    for tid, tab in sorted(tables.items()):
+        out += dht(0, tid, tab)
+    out += sos(all_comps, 0, 0, 0, AL) + entropy(toks, tables)
+    # scan 2: DC refinement (raw bits, no Huffman)
+    out += sos(all_comps, 0, 0, AL, 0) + entropy(dc_refine_tokens(), {})
+    # scans 3..: AC first then AC refinement, one component each
+    for phase in (ac_first_tokens, ac_refine_tokens):
+        ah, al = (0, AL) if phase is ac_first_tokens else (AL, 0)
+        for ci in range(ncomp):
+            toks = phase(ci)
+            tables = scan_tables(toks)
+            out += dht(1, 0, tables[0])
+            out += sos([(ci + 1, 0, 0)], 1, 63, ah, al) + entropy(toks, tables)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -520,10 +739,135 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _decode_baseline_scan(reader, huffs, scan_comps, coef, pred, n_blocks):
+    """SOF0 full-band scan: interleaved MCUs, one block per component
+    (1x1 sampling), DC diff + AC run-length into the coefficient store."""
+    for m in range(n_blocks):
+        for cid, dc_tid, ac_tid in scan_comps:
+            size = _read_huff(reader, huffs[(0, dc_tid)])
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[cid] += diff
+            zz = coef[cid][m]
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = _read_huff(reader, huffs[(1, ac_tid)])
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+
+
+def _decode_dc_scan(reader, huffs, scan_comps, coef, pred, n_blocks, ah, al):
+    """Progressive DC scan (Ss=Se=0). First pass (Ah=0): diff-coded
+    predictors, point-transformed left by Al. Refinement (Ah>0): one raw
+    bit per block sets bit Al (T.81 G.1.2.1 / libjpeg decode_mcu_DC_*)."""
+    for m in range(n_blocks):
+        for cid, dc_tid, _ in scan_comps:
+            zz = coef[cid][m]
+            if ah == 0:
+                size = _read_huff(reader, huffs[(0, dc_tid)])
+                diff = _extend(reader.bits(size), size) if size else 0
+                pred[cid] += diff
+                zz[0] = pred[cid] << al
+            else:
+                if reader.bit():
+                    zz[0] |= 1 << al
+
+
+def _decode_ac_first_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, al):
+    """Progressive AC first pass (Ah=0): run-length with EOB-run symbols
+    (EOBn: s=0, r<15 → run of 2^r + r extra bits blocks ending here);
+    values arrive point-transformed (<< Al). T.81 G.1.2.2 /
+    libjpeg decode_mcu_AC_first. Single-component scan per spec."""
+    eobrun = 0
+    for m in range(n_blocks):
+        zz = coef[cid][m]
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = _read_huff(reader, huffs[(1, ac_tid)])
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _extend(reader.bits(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16  # ZRL
+
+
+def _decode_ac_refine_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, al):
+    """Progressive AC refinement (Ah=Al+1): newly-nonzero coefficients
+    arrive as ±1<<Al with interleaved correction bits for every
+    already-nonzero coefficient passed over (including during EOB runs).
+    Mirrors libjpeg decode_mcu_AC_refine / T.81 G.1.2.3."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def correct(zz, k):
+        c = int(zz[k])
+        if c != 0 and reader.bit() and (c & p1) == 0:
+            zz[k] = c + (p1 if c >= 0 else m1)
+
+    for m in range(n_blocks):
+        zz = coef[cid][m]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_huff(reader, huffs[(1, ac_tid)])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s:
+                    # refinement codes only magnitude-1 insertions
+                    val = p1 if reader.bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break  # remaining band handled by the eobrun block
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                while k <= se:
+                    if int(zz[k]) != 0:
+                        correct(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                correct(zz, k)
+                k += 1
+            eobrun -= 1
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline 4:4:4 JPEG → (h, w, 3) uint8 RGB. Generic DQT/DHT/SOF0
-    parse; refuses progressive (SOF2), subsampled, or multi-scan files
-    loudly rather than mis-decoding them."""
+    """Baseline (SOF0) and progressive (SOF2) 4:4:4 JPEG → (h, w, 3)
+    uint8 RGB. Generic DQT/DHT parse; scans decode into a coefficient
+    store (progressive spectral-selection and successive-approximation
+    passes accumulate there) and one shared dequant+IDCT pass finishes.
+    Refuses subsampled, restart-interval, hierarchical/lossless-SOF and
+    baseline-multi-scan files loudly rather than mis-decoding them."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qts: dict[int, np.ndarray] = {}
@@ -531,8 +875,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     comps: list[tuple[int, int]] = []  # (comp_id, qt_id)
     h = w = 0
     pos = 2
-    scan_comps: list[tuple[int, int, int]] = []
-    data_start = data_end = -1
+    progressive = False
+    n_scans = 0
+    coef: dict[int, np.ndarray] = {}  # cid -> (n_blocks, 64) int64 zigzag
+    pred: dict[int, int] = {}
+    bh = bw = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -552,10 +899,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     q[r, c] = body[i + 1 + j]
                 qts[tq] = q
                 i += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"jpeg: only baseline SOF0 supported (SOF {marker:#x})")
-        elif marker == 0xC0:
+            raise ValueError(f"jpeg: only SOF0/SOF2 supported (SOF {marker:#x})")
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
             h, w = _struct.unpack(">HH", body[1:5])
@@ -565,6 +913,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 if samp != 0x11:
                     raise ValueError("jpeg: only 4:4:4 (1x1 sampling) supported")
                 comps.append((cid, tq))
+            bh, bw = -(-h // 8), -(-w // 8)
+            for cid, _ in comps:
+                coef[cid] = np.zeros((bh * bw, 64), dtype=np.int64)
+                pred[cid] = 0
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -587,16 +939,21 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             # Restart intervals insert RSTn markers that reset the DC
             # predictors; silently skipping them (as the entropy scan
             # below does for locating data_end) would decode to garbage.
-            # Refuse loudly, same policy as SOF2/subsampling.
+            # Refuse loudly, same policy as subsampling.
             if _struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError("jpeg: restart intervals (DRI) unsupported")
         elif marker == 0xDA:
-            if scan_comps:
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
+            if n_scans and not progressive:
                 raise ValueError("jpeg: multi-scan files unsupported")
             n = body[0]
+            scan_comps = []
             for ci in range(n):
                 cid, tids = body[1 + 2 * ci:3 + 2 * ci]
                 scan_comps.append((cid, tids >> 4, tids & 0xF))
+            ss, se, ahl = body[1 + 2 * n:4 + 2 * n]
+            ah, al = ahl >> 4, ahl & 0xF
             data_start = pos + 2 + ln
             # entropy data runs to the next real marker (skip stuffed FF00
             # and restart markers)
@@ -607,46 +964,51 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 ):
                     break
                 j += 1
-            data_end = j
-            pos = data_end
+            data = blob[data_start:j].replace(b"\xff\x00", b"\xff")
+            reader = _BitReader(data)
+            n_blocks = bh * bw
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("jpeg: invalid baseline scan header")
+                _decode_baseline_scan(reader, huffs, scan_comps, coef, pred, n_blocks)
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("jpeg: progressive DC scan must have Se=0")
+                if ah == 0:
+                    for cid, _, _ in scan_comps:  # fresh predictors per scan
+                        pred[cid] = 0
+                _decode_dc_scan(reader, huffs, scan_comps, coef, pred,
+                                n_blocks, ah, al)
+            else:
+                if len(scan_comps) != 1:
+                    raise ValueError("jpeg: progressive AC scan must be single-component")
+                cid, _, ac_tid = scan_comps[0]
+                if ah == 0:
+                    _decode_ac_first_scan(reader, huffs, cid, ac_tid, coef,
+                                          n_blocks, ss, se, al)
+                else:
+                    _decode_ac_refine_scan(reader, huffs, cid, ac_tid, coef,
+                                           n_blocks, ss, se, al)
+            n_scans += 1
+            pos = j
             continue
         pos += 2 + ln
-    if data_start < 0 or not comps:
-        raise ValueError("jpeg: missing SOS/SOF0")
-    data = blob[data_start:data_end].replace(b"\xff\x00", b"\xff")
-    reader = _BitReader(data)
-    bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
-    qt_of = {cid: qts[tq] for cid, tq in comps}
-    pred = {cid: 0 for cid, _ in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for pi, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
-                size = _read_huff(reader, huffs[(0, dc_tid)])
-                diff = _extend(reader.bits(size), size) if size else 0
-                pred[cid] += diff
-                zz = np.zeros(64)
-                zz[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(reader, huffs[(1, ac_tid)])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
+    if n_scans == 0 or not comps:
+        raise ValueError("jpeg: missing SOS/SOF")
+    planes = []
+    for pi, (cid, tq) in enumerate(comps):
+        qt = qts[tq]
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coef[cid][by * bw + bx]
                 block = np.zeros((8, 8))
                 for j, (r, c) in enumerate(_ZIGZAG):
                     block[r, c] = zz[j]
-                block *= qt_of[cid]
+                block *= qt
                 px = _DCTM.T @ block @ _DCTM + 128.0
-                planes[pi][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
+        planes.append(plane)
     planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
     if len(planes) == 1:
         return np.repeat(planes[0].astype(np.uint8)[:, :, None], 3, axis=2)
@@ -915,21 +1277,31 @@ def synth_media_real(spark, n: int = 12, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def synth_media_jpeg(spark, n: int = 4, seed: int = 42) -> DataFrame:
-    """Image table of REAL baseline JPEGs. Flat GRAY images with an even
-    pixel value: the whole pipeline (color transform, padding, DCT,
-    Annex-K quantization, Huffman) round-trips EXACTLY for them — the DC
+def synth_media_jpeg(spark, n: int = 4, seed: int = 42,
+                     progressive: bool = False) -> DataFrame:
+    """Image table of REAL JPEGs. Flat GRAY images with an even pixel
+    value: the whole pipeline (color transform, padding, DCT, Annex-K
+    quantization, Huffman) round-trips EXACTLY for them — the DC
     coefficient 8·(v−128) is a multiple of the luma DC quantizer 16 and
     Cb=Cr=128 — so the mean luma is analytically v, giving m01 a
-    first-principles oracle over genuinely decoded JPEG bytes."""
+    first-principles oracle over genuinely decoded JPEG bytes.
+    ``progressive=True`` encodes the same construction as SOF2
+    (spectral-selection + successive-approximation scans, ids jp####,
+    seed shifted so the gray values differ from the baseline set) —
+    progressive decode reconstructs identical coefficients, so the
+    analytic oracle carries over unchanged."""
     rows = []
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    prefix = "jp" if progressive else "j"
+    if progressive:
+        seed += 1  # distinct (still even) gray values for the SOF2 rows
     for i in range(n):
         w, h = 20 + (i % 3) * 7, 14 + (i % 2) * 9  # exercises edge padding
         v = (seed + 2 * i * 13) % 128 * 2  # even ⇒ exact DC round-trip
         px = np.full((h, w, 3), v, dtype=np.uint8)
         meta = {"mime": "image/jpeg", "width": w, "height": h, "n_channels": 3,
                 "duration_ms": None, "sample_rate": None}
-        rows.append((f"j{i:04d}", "image", encode_jpeg(px), meta))
+        rows.append((f"{prefix}{i:04d}", "image", enc(px), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

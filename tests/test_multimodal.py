@@ -361,9 +361,16 @@ def test_jpeg_refuses_unsupported_variants():
 
     blob = bytearray(encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8)))
     i = blob.find(b"\xff\xc0")
+    # SOF2 is now SUPPORTED (r5) — but flipping the marker on a baseline
+    # stream yields an INVALID progressive scan header (full-band Ss=0,
+    # Se=63 is neither a DC nor an AC scan) and must still refuse
     prog = bytes(blob[:i + 1]) + b"\xc2" + bytes(blob[i + 2:])
-    with pytest.raises(ValueError, match="SOF0"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(prog)
+    # hierarchical/lossless SOF variants stay refused
+    lossless = bytes(blob[:i + 1]) + b"\xc3" + bytes(blob[i + 2:])
+    with pytest.raises(ValueError, match="SOF0/SOF2"):
+        decode_jpeg(lossless)
     sub = bytearray(blob)
     sub[i + 11] = 0x22  # luma sampling 2x2
     with pytest.raises(ValueError, match="sampling"):
@@ -393,3 +400,48 @@ def test_jpeg_media_features_through_engine(spark):
     got = {r.media_id: r.mean_luma
            for r in decode_image_features(synth_media_jpeg(spark, n=4)).collect()}
     assert got == {"j0000": 84.0, "j0001": 136.0, "j0002": 188.0, "j0003": 240.0}
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """SOF2 (VERDICT r4 #9): progressive encode quantizes identically to
+    baseline, and the spectral-selection + successive-approximation scan
+    decode reconstructs the EXACT coefficient store — so decoded pixels
+    are bit-for-bit equal to the baseline round-trip. Shapes chosen to
+    hit edge padding, grayscale, and long EOB-run / ZRL paths."""
+    import numpy as np
+
+    from ares_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+             for h, w in [(8, 8), (7, 26), (34, 27), (16, 16)]]
+    cases.append(rng.integers(0, 256, (17, 9), dtype=np.uint8))  # grayscale
+    sparse = np.zeros((64, 64, 3), dtype=np.uint8)  # EOBRUN>1 + ZRL heavy
+    sparse[10:12, 30:33] = 255
+    cases.append(sparse)
+    cases.append(np.full((14, 20, 3), 84, dtype=np.uint8))  # flat exact
+    for img in cases:
+        base = decode_jpeg(encode_jpeg(img))
+        prog_blob = encode_jpeg_progressive(img)
+        # really progressive: SOF2 marker + multiple SOS scans
+        assert b"\xff\xc2" in prog_blob and prog_blob.count(b"\xff\xda") >= 4
+        assert (decode_jpeg(prog_blob) == base).all()
+    flat = np.full((14, 20, 3), 84, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat)) == flat).all()
+
+
+def test_jpeg_progressive_through_engine(spark):
+    """m01's Spark path over SOF2 payloads: flat even-gray progressive
+    fixtures decode to their constructed gray value exactly."""
+    from pyspark.sql import functions as F
+
+    from ares_spark.operators.multimodal import (
+        decode_image_features, synth_media_jpeg,
+    )
+
+    media = synth_media_jpeg(spark, n=2, progressive=True)
+    got = {r.media_id: r.luma for r in decode_image_features(media).select(
+        "media_id", F.round("mean_luma", 3).alias("luma")).collect()}
+    assert got == {"jp0000": 86.0, "jp0001": 138.0}
