@@ -106,6 +106,34 @@ def order_host_rr(df: DataFrame, n_rows: int | None = None) -> DataFrame:
     ).drop("host_rank")
 
 
+def order_counted(df: DataFrame, ordering: str) -> tuple[DataFrame, int]:
+    """Claim ordering with the batch size folded into the rank's own
+    counting pass (ranking.global_rank_counted): ONE job materializes the
+    frontier resolve, range-orders the batch, and returns its size —
+    collapsing the loop's former separate claim-count job. Ranks are
+    identical to order_fifo/order_host_rr (same order keys through the
+    proven window==distributed equivalence), so traces are unchanged."""
+    from ares_spark.operators.ranking import global_rank_counted
+
+    if ordering == "fifo":
+        return global_rank_counted(
+            df,
+            [F.col("next_retry_at").asc_nulls_first(), F.col("created_seq").asc()],
+            out_col="claim_pos",
+        )
+    order = [F.col("next_retry_at").asc_nulls_first(), F.col("depth").asc()]
+    if "score" in df.columns:
+        order.append(F.col("score").desc_nulls_last())
+    order.append(F.col("created_seq").asc())
+    w_host = Window.partitionBy("host").orderBy(*order)
+    ranked, n = global_rank_counted(
+        df.withColumn("host_rank", F.row_number().over(w_host)),
+        [F.col("host_rank"), F.col("host"), F.col("created_seq")],
+        out_col="claim_pos",
+    )
+    return ranked.drop("host_rank"), n
+
+
 def retry_delay_expr(attempt_col="retry_count"):
     """A22 backoff schedule: 60s / 300s / 1800s / 3600s (job.rs:60-94)."""
     a = F.col(attempt_col) if isinstance(attempt_col, str) else attempt_col

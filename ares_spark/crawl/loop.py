@@ -55,8 +55,7 @@ from ares_spark.crawl.frontier import (
     FRONTIER_SCHEMA,
     claimable,
     global_order_rank,
-    order_fifo,
-    order_host_rr,
+    order_counted,
     retry_delay_expr,
 )
 from ares_spark.crawl.robots import RobotsMatcher
@@ -173,6 +172,14 @@ class CrawlConfig:
     http_proxy: str | None = None  # absolute-form HTTP proxy (fetcher.rs:117)
     fetch_delay_s: float = 0.0  # min per-host interval between live GETs
     fetch_user_agent: str = "Ares/0.2 (AI Scraper)"  # fetcher.rs:123
+    # batches up to this size fetch via a broadcast semi-join probe into a
+    # streamed corpus scan (no per-generation corpus shuffle); above it,
+    # the batch is corpus-scale and a co-shuffle join is the right plan.
+    # ~1M urls broadcast ≈ 60-100 MB — inside executor broadcast budgets.
+    fetch_semi_join_max_batch: int = 1_000_000
+    # overlap the NEXT generation's claim ordering inside this
+    # generation's checkpoint barrier (measured A/B knob)
+    prefetch_ordering: bool = True
 
 
 def seed_frontier(
@@ -373,6 +380,10 @@ class CrawlState:
         # robots corpus as join-able DataFrames (built once per drive)
         self.robots_df = None
         self.robots_budgets = None
+        # next-generation claim ordering, prefetched inside the previous
+        # generation's checkpoint barrier: {"batch", "n", "batch_ts",
+        # "pins"} — consumed (or invalidated on a time-warp) by _drive
+        self.prefetch = None
 
 
 def run_crawl(
@@ -472,13 +483,29 @@ def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
         tiebreak_cols=["claim_pos"], compact_interval=cfg.compact_interval,
     )
     last_summary = {"generations": state.generation, "session_id": session_id}
+    from ares_spark.operators.ranking import adopt_pins, release_rank_pins
+
     while state.generation < cfg.max_generations:
-        claim = claimable(state.frontier, state.batch_ts)
-        # one count serves both the empty-check and the rank auto-switch
-        t0 = time.time()
-        n_claimable = claim.count()
-        _tick("claim_count(+frontier materialize)", t0, state.generation)
+        pf, state.prefetch = state.prefetch, None
+        if pf is not None and pf["batch_ts"] == state.batch_ts:
+            # ordering was prefetched inside the previous generation's
+            # checkpoint barrier — zero serial cost here; its rank pins
+            # are adopted so THIS generation's release covers them
+            batch, n_claimable = pf["batch"], pf["n"]
+            adopt_pins(pf["pins"])
+        else:
+            if pf is not None:  # stale: a time-warp moved the clock
+                for p in pf["pins"]:
+                    p.unpersist()
+            claim = claimable(state.frontier, state.batch_ts)
+            # ONE job: frontier resolve + claim ordering + batch size —
+            # the count is folded into the rank's partition-offset pass
+            # (order_counted), collapsing the former claim-count job
+            t0 = time.time()
+            batch, n_claimable = order_counted(claim, cfg.ordering)
+            _tick("order+count(+frontier materialize)", t0, state.generation)
         if n_claimable == 0:
+            release_rank_pins()
             # time-warp to the earliest retry, like an injected test clock
             nxt = state.frontier.filter(F.col("status") == "pending").agg(
                 F.min("next_retry_at")
@@ -488,17 +515,17 @@ def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
             state.batch_ts = float(nxt)
             continue
         last_summary = _run_generation(
-            spark, pages, state, cfg, robots_raw, schema, session_id, claim, n_claimable
+            spark, pages, state, cfg, robots_raw, schema, session_id, batch, n_claimable
         )
     return last_summary
 
 
 def _run_generation(
-    spark, pages, state, cfg, robots_raw, schema, session_id, claim, n_claimable
+    spark, pages, state, cfg, robots_raw, schema, session_id, batch, n_claimable
 ) -> dict:
+    """``batch`` arrives already claim-ordered (order_counted in _drive —
+    the ordering job doubles as the claim count)."""
     g = state.generation
-    cfg_order = order_fifo if cfg.ordering == "fifo" else order_host_rr
-    batch = cfg_order(claim, n_rows=n_claimable)
 
     # --- politeness + breaker caps (per host) --------------------------------
     # never a distinct-hosts collect (unbounded at 10^6+ hosts/batch):
@@ -595,7 +622,22 @@ def _run_generation(
             user_agent=cfg.fetch_user_agent,
             n_partitions=salt_n,
         )
+    elif n_claimable <= cfg.fetch_semi_join_max_batch:
+        # BFS-ramp / politeness-capped generations are far smaller than
+        # the corpus. A plain batch⋈pages LEFT join sort-merge-shuffles
+        # the ENTIRE corpus every generation (Spark cannot broadcast the
+        # preserved side of an outer join) — O(corpus) exchange per
+        # generation, the scale killer for deep crawls. Instead: stream-
+        # scan pages ONCE with the batch's url set broadcast as a
+        # semi-join probe (no corpus shuffle, no corpus sort), then
+        # left-join the ≤|batch| hit set back to the batch.
+        page_hits = pages.select("url", "html").join(
+            F.broadcast(batch.select("url")), "url", "left_semi"
+        )
+        raw = batch.join(page_hits, "url", "left")
     else:
+        # corpus-scale generation: the batch is the same order of size as
+        # the corpus, so a co-shuffle is the right plan
         raw = batch.join(pages.select("url", "html"), "url", "left")
     fetched = (
         raw
@@ -700,9 +742,10 @@ def _run_generation(
     def _visits_append():
         state.store.append_batch(visits, "visits", g)
 
-    # independent writes to different tables — overlap their job latency
-    _parallel_actions(_elog_delta, _visits_append)
-    t0 = _tick("extractions_latest_delta+visits_append(par)", t0, g)
+    # _elog_delta and _visits_append join the big checkpoint barrier below
+    # (r5): they are independent of the spider, so running the spider's
+    # lineage build + rank first lets all six writes overlap in one group
+    # instead of paying two barriers per generation.
 
     # --- spider: next-generation children -------------------------------------
     spider_src = processed.filter(
@@ -796,18 +839,27 @@ def _run_generation(
     else:
         fresh = candidates.join(state.seen.select("url_hash"), "url_hash", "left_anti")
     # A17 max_pages: budget over *visited* count, deterministic order.
-    # The rank is the same auto-switching global rank as claim ordering:
-    # at web scale a generation can emit 10M+ fresh links and an
-    # unpartitioned window here would be the serial section.
+    # The fresh-count job is FOLDED into the distributed rank's
+    # partition-offset pass (global_rank_counted): one job materializes
+    # the candidate lineage (bloom probes included), range-orders it, and
+    # returns n_fresh — at web scale a generation can emit 10M+ fresh
+    # links and an unpartitioned window here would be the serial section.
     visited = state.visited
     budget_left = max(cfg.max_pages - visited, 0)
+    from ares_spark.operators.ranking import global_rank_counted
+
+    # persist BEFORE ranking: repartitionByRange runs a range-boundary
+    # SAMPLING pass over its input ahead of the shuffle — unpersisted,
+    # the whole candidate lineage (UDF filters, bloom probes, dedup
+    # window) would execute twice per generation (measured 2× wall at
+    # local[16]). The sampling pass populates this pin; the shuffle and
+    # every later consumer read the cache.
     fresh_pinned = fresh.persist(StorageLevel.MEMORY_AND_DISK)
-    n_fresh = fresh_pinned.count()
-    t0 = _tick("spider_fresh_count", t0, g)
-    capped = global_order_rank(
-        fresh_pinned, [F.col("claim_pos"), F.col("link_rank")], out_col="__rank",
-        n_rows=n_fresh,
-    ).filter(F.col("__rank") <= budget_left)
+    ranked_fresh, n_fresh = global_rank_counted(
+        fresh_pinned, [F.col("claim_pos"), F.col("link_rank")], out_col="__rank"
+    )
+    t0 = _tick("spider_rank+count", t0, g)
+    capped = ranked_fresh.filter(F.col("__rank") <= budget_left)
     children = capped.select(
         F.md5(F.concat_ws(":", F.lit(session_id), (F.lit(state.seq_base) + F.col("__rank") - 1), "link")).alias("job_id"),
         F.col("link").alias("url"),
@@ -892,17 +944,24 @@ def _run_generation(
     )
 
     # --- lineage + snapshots ----------------------------------------------------
-    # four INDEPENDENT actions (different tables / disjoint driver state)
+    # six INDEPENDENT actions (different tables / disjoint driver state)
     # run concurrently — their cost is job latency, not compute, and the
     # barrier below is the only ordering the manifest commit needs:
     #   1. bloom sidecar RMW (new_seen)
     #   2. host-shard stats + breaker feed (fetched; mutates state.breaker
     #      ONLY in this thunk). Driver collects ≤ n_shards rows + a
     #      BOUNDED top-K failing-host feed — never every host
-    #   3. frontier delta append (delta)
+    #   3. frontier delta append (delta) — chained inside its thread:
+    #      frontier compaction, the next-generation frontier read, and
+    #      the NEXT generation's claim ordering (order_counted), all of
+    #      which depend only on the delta being durable. Prefetching the
+    #      ordering here removes it from the next generation's serial
+    #      section entirely (its rank pins are handed to _drive).
     #   4. url_seen append — INSERT-only (ON CONFLICT DO NOTHING
     #      semantics): per-generation appends, O(new links), never a
     #      rewrite of the 10^10-row set
+    #   5. extractions_latest delta (+ its compaction)
+    #   6. visits append
     shard_rows: list = []
 
     def _bloom_update():
@@ -937,21 +996,44 @@ def _run_generation(
             state.breaker.record(r.host, int(r.ok), int(r.err), g)
         host_stats.unpersist()
 
+    compact_cell: list = []
+    frontier_cell: list = []
+    prefetch_cell: list = []
+
     def _frontier_delta():
         state.flog.append_delta(delta, g)
+        # compaction BEFORE the next-frontier read: the read's lineage
+        # must never straddle a base-dir swap
+        compact_cell.append(state.flog.maybe_compact(spark, g))
+        nxt = state.flog.read_live(spark, g).persist(StorageLevel.MEMORY_AND_DISK)
+        frontier_cell.append(nxt)
+        if g + 1 < cfg.max_generations and cfg.prefetch_ordering:
+            # prefetch the NEXT generation's claim ordering while the
+            # sibling writes run. Pin-handoff invariant: no other thread
+            # ranks between watermark and take (_parallel_actions peers
+            # here run appends/collects only)
+            from ares_spark.operators.ranking import pin_watermark, take_pins_since
+
+            next_ts = state.batch_ts + cfg.batch_interval_s
+            mark = pin_watermark()
+            nb, nn = order_counted(claimable(nxt, next_ts), cfg.ordering)
+            prefetch_cell.append(
+                {"batch": nb, "n": nn, "batch_ts": next_ts,
+                 "pins": take_pins_since(mark)}
+            )
 
     def _url_seen_append():
         state.store.append_batch(new_seen, "url_seen", g)
 
     _parallel_actions(_bloom_update, _stats_and_breaker, _frontier_delta,
-                      _url_seen_append)
-    t0 = _tick("stats+bloom+delta+url_seen(par)", t0, g)
+                      _url_seen_append, _elog_delta, _visits_append)
+    t0 = _tick("checkpoint+prefetch(par x6)", t0, g)
     shard_stats: dict[int, dict] = {}
     for r in shard_rows:
         shard_stats[int(r.host_shard)] = {"fetched": int(r.ok), "errors": int(r.err)}
 
     n_batch = int(sum(s["fetched"] + s["errors"] for s in shard_stats.values()))
-    compacted = state.flog.maybe_compact(spark, g)
+    compacted = compact_cell[0]
     if compacted:
         t0 = _tick("frontier_compact", t0, g)
     # bound the dir count of the append-only logs (Iceberg bin-packing,
@@ -992,13 +1074,12 @@ def _run_generation(
 
     # re-read from the log: truncates the iterative lineage (plan growth is
     # the classic iterative-Spark failure mode) and makes resume == hot path.
-    # Persist the resolved live view: claim-count + ordering both consume it
-    # next generation and would otherwise re-run the merge window twice.
-    from pyspark import StorageLevel
-
+    # The resolved live view (persisted) and next generation's ordering
+    # were both produced inside the _frontier_delta thread above.
     prev_frontier = state.frontier
-    state.frontier = state.flog.read_live(spark, g).persist(StorageLevel.MEMORY_AND_DISK)
+    state.frontier = frontier_cell[0]
     prev_frontier.unpersist()
+    state.prefetch = prefetch_cell[0] if prefetch_cell else None
     state.seen = _read_seen(spark, state.store, g)
     state.batch_ts += cfg.batch_interval_s
     state.seq_base = summary["seq_base"]

@@ -36,6 +36,27 @@ def release_rank_pins() -> None:
         _PINNED.pop().unpersist()
 
 
+def pin_watermark() -> int:
+    """Current pin-list length — pair with take_pins_since to hand a
+    rank's pins to a LATER release scope (the crawl loop's next-generation
+    ordering prefetch runs inside generation g's checkpoint barrier but
+    its pins must survive g's release_rank_pins). Caller must guarantee
+    no other thread ranks between the watermark and the take."""
+    return len(_PINNED)
+
+
+def take_pins_since(mark: int) -> list:
+    pins = _PINNED[mark:]
+    del _PINNED[mark:]
+    return pins
+
+
+def adopt_pins(pins: list) -> None:
+    """Re-enter pins into the global release scope (released by the next
+    release_rank_pins call)."""
+    _PINNED.extend(pins)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -46,6 +67,20 @@ def global_rank(
     a total order). Distributed: no single-task sort. Internally persists
     the range exchange (both passes must see one sampled partitioning);
     call ``release_rank_pins()`` when the output is consumed."""
+    return global_rank_counted(df, order_cols, out_col, num_partitions)[0]
+
+
+def global_rank_counted(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``global_rank`` that also returns the TOTAL row count — the
+    offset-building pass counts every partition anyway, so callers that
+    need the batch size (claim count, spider budget) fold their formerly
+    separate ``.count()`` job into this one. One job materializes the
+    input lineage, range-partitions it, and yields (ranked_df, n_rows)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -63,7 +98,7 @@ def global_rank(
     _PINNED.append(ranged)
     counts = {r["__pid"]: r["count"] for r in ranged.groupBy("__pid").count().collect()}
     if not counts:
-        return df.withColumn(out_col, F.lit(0).cast("long"))
+        return df.withColumn(out_col, F.lit(0).cast("long")), 0
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -73,9 +108,10 @@ def global_rank(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )[F.col("__pid")]
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return ranged.withColumn(
+    ranked = ranged.withColumn(
         out_col, (off_expr + F.row_number().over(w)).cast("long")
     ).drop("__pid")
+    return ranked, acc
 
 
 # threshold above which the frontier ordering switches from the

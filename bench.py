@@ -50,6 +50,7 @@ HEADLINE = [
     "t05_fingerprint64",
     "s01_ann_bruteforce",
     "s02_ann_lsh",
+    "d07b_embedding_near_pairs_lsh",
 ]
 
 

@@ -64,6 +64,7 @@ def main() -> None:
         use_bloom=True,
         max_generations=40,
         max_retries=0,
+        prefetch_ordering=os.environ.get("ARES_PREFETCH_ORDERING", "1") == "1",
     )
     t0 = time.time()
     summary = run_crawl(spark, pages, [seed_url], ckpt, cfg)
