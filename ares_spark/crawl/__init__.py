@@ -8,5 +8,13 @@ snapshot tables with per-partition lineage (north_rule).
 """
 
 from ares_spark.crawl.loop import CrawlConfig, job_control, run_crawl, resume_crawl
+from ares_spark.crawl.pagestore import BucketedPages, write_bucketed_pages
 
-__all__ = ["CrawlConfig", "job_control", "run_crawl", "resume_crawl"]
+__all__ = [
+    "BucketedPages",
+    "CrawlConfig",
+    "job_control",
+    "run_crawl",
+    "resume_crawl",
+    "write_bucketed_pages",
+]

@@ -471,10 +471,15 @@ def resume_crawl(
 
 
 def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
+    from ares_spark.crawl.pagestore import BucketedPages
+
     if cfg.robots_from_corpus and (
         robots_raw is None or (isinstance(robots_raw, dict) and not robots_raw)
     ):
-        robots_raw = robots_from_pages(pages)
+        robots_src = (
+            pages.read_all(spark) if isinstance(pages, BucketedPages) else pages
+        )
+        robots_raw = robots_from_pages(robots_src)
     state.robots_df, state.robots_budgets = _robots_assets(spark, robots_raw, cfg)
     # extractions_latest: incrementally-maintained latest extraction per
     # url (A12). Purely disk-backed, so run and resume share this one line.
@@ -518,6 +523,50 @@ def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
             spark, pages, state, cfg, robots_raw, schema, session_id, batch, n_claimable
         )
     return last_summary
+
+
+def _fetch_from_pages(spark, batch, pages, cfg, n_claimable, g):
+    """Sandbox fetch (``batch ⋈ pages``) — scan/shuffle strategy chosen by
+    batch size and corpus layout:
+
+    1. **Bucket-pruned scan** (pages is a BucketedPages and the batch is
+       well under the bucket count): read ONLY the batch's hash buckets —
+       the Iceberg bucket-partition-pruning plan, O(|batch| × corpus/B)
+       read instead of O(corpus). The bucket set comes from the frontier's
+       own url_hash column, driver-bounded at ≤ min(|batch|, B) ints. The
+       4× guard keeps the pruned path where it pays: at |batch| ≈ B the
+       expected hit fraction is already 1 − 1/e ≈ 63% of buckets, and the
+       extra distinct-buckets job would buy almost nothing.
+    2. **Streamed scan + broadcast semi-join probe** (sub-corpus batch):
+       BFS-ramp / politeness-capped generations are far smaller than the
+       corpus. A plain batch⋈pages LEFT join sort-merge-shuffles the
+       ENTIRE corpus every generation (Spark cannot broadcast the
+       preserved side of an outer join) — O(corpus) exchange per
+       generation, the scale killer for deep crawls. Instead: stream-scan
+       pages ONCE with the batch's url set broadcast as a semi-join probe
+       (no corpus shuffle, no corpus sort), then left-join the ≤|batch|
+       hit set back to the batch.
+    3. **Co-shuffle join** (corpus-scale batch): the batch is the same
+       order of size as the corpus, so the shuffle is the right plan.
+    """
+    from ares_spark.crawl.pagestore import BucketedPages
+
+    bucketed = pages if isinstance(pages, BucketedPages) else None
+    if bucketed is not None and n_claimable * 4 <= bucketed.n_buckets:
+        t0 = time.time()
+        scan = bucketed.scan_for_batch(spark, batch)
+        _tick("fetch bucket-prune", t0, g)
+        page_hits = scan.select("url", "html").join(
+            F.broadcast(batch.select("url")), "url", "left_semi"
+        )
+        return batch.join(page_hits, "url", "left")
+    pages_df = bucketed.read_all(spark) if bucketed is not None else pages
+    if n_claimable <= cfg.fetch_semi_join_max_batch:
+        page_hits = pages_df.select("url", "html").join(
+            F.broadcast(batch.select("url")), "url", "left_semi"
+        )
+        return batch.join(page_hits, "url", "left")
+    return batch.join(pages_df.select("url", "html"), "url", "left")
 
 
 def _run_generation(
@@ -622,23 +671,8 @@ def _run_generation(
             user_agent=cfg.fetch_user_agent,
             n_partitions=salt_n,
         )
-    elif n_claimable <= cfg.fetch_semi_join_max_batch:
-        # BFS-ramp / politeness-capped generations are far smaller than
-        # the corpus. A plain batch⋈pages LEFT join sort-merge-shuffles
-        # the ENTIRE corpus every generation (Spark cannot broadcast the
-        # preserved side of an outer join) — O(corpus) exchange per
-        # generation, the scale killer for deep crawls. Instead: stream-
-        # scan pages ONCE with the batch's url set broadcast as a
-        # semi-join probe (no corpus shuffle, no corpus sort), then
-        # left-join the ≤|batch| hit set back to the batch.
-        page_hits = pages.select("url", "html").join(
-            F.broadcast(batch.select("url")), "url", "left_semi"
-        )
-        raw = batch.join(page_hits, "url", "left")
     else:
-        # corpus-scale generation: the batch is the same order of size as
-        # the corpus, so a co-shuffle is the right plan
-        raw = batch.join(pages.select("url", "html"), "url", "left")
+        raw = _fetch_from_pages(spark, batch, pages, cfg, n_claimable, g)
     fetched = (
         raw
         # salted-host repartition: spread a hot host across all tasks before

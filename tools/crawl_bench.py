@@ -28,6 +28,11 @@ CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 # (e.g. 64) models the 10^10-frontier steady state where every
 # generation is budget-capped huge and ramp-up is negligible
 FANOUT = int(os.environ.get("ARES_CRAWLBENCH_FANOUT", "8"))
+# >0: fetch through a hash-bucketed corpus (crawl/pagestore.py) with this
+# many buckets — the Iceberg bucket-pruning analog. The BFS-ramp
+# generations then scan only their batch's buckets instead of the whole
+# corpus. 0 = plain parquet corpus (the r4 baseline).
+BUCKETS = int(os.environ.get("ARES_CRAWLBENCH_BUCKETS", "0"))
 
 
 def main() -> None:
@@ -51,6 +56,14 @@ def main() -> None:
         )
         pages_df.write.mode("overwrite").parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
+    if BUCKETS:
+        from ares_spark.crawl import BucketedPages, write_bucketed_pages
+
+        bdir = str(Path(pages_dir).with_name(Path(pages_dir).name + f"_b{BUCKETS}"))
+        if (Path(bdir) / "_SUCCESS").exists():
+            pages = BucketedPages(bdir, BUCKETS)
+        else:
+            pages = write_bucketed_pages(pages, bdir, BUCKETS)
 
     ckpt = tempfile.mkdtemp(prefix="ares_crawlbench_ckpt_")
     cfg = CrawlConfig(
@@ -78,6 +91,7 @@ def main() -> None:
         "n_pages": N_PAGES,
         "cpus": CPUS,
         "fanout": FANOUT,
+        "buckets": BUCKETS,
         "generations": summary["generation"] + 1,
         "urls_visited": visits,
         "seen_total": summary.get("seen_total"),
