@@ -1013,6 +1013,10 @@ def q_m01_image_decode_luma(spark, sf_dir):
         # spectral-selection + successive-approximation scans reconstruct
         # the identical coefficients, so the analytic luma oracle holds
         .unionByName(synth_media_jpeg(spark, n=2, progressive=True))
+        # r5: 4:2:0-subsampled fixtures with a restart interval — flat
+        # planes survive chroma decimation and RSTn resync exactly, so
+        # the same construction-known luma is the oracle
+        .unionByName(synth_media_jpeg(spark, n=2, subsampled=True))
     )
     return decode_image_features(media).select(
         "media_id", F.round("mean_luma", 3).alias("luma3")
@@ -1268,6 +1272,10 @@ _M01_ORACLE = """
     -- progressive (SOF2) fixtures: same flat even-gray construction at
     -- seed+1, decoded through the successive-approximation scan paths
     select * from (values ('jp0000', 86.0), ('jp0001', 138.0)) p(media_id, luma3)
+    union all
+    -- 4:2:0 + restart-interval fixtures: flat even-gray at seed+2 —
+    -- chroma decimation and RSTn resync are exact for flat planes
+    select * from (values ('js0000', 88.0), ('js0001', 140.0)) s(media_id, luma3)
 """
 
 _M02_ORACLE = """

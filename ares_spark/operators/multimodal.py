@@ -7,9 +7,10 @@ Codecs dispatch on MAGIC BYTES:
 - ``\\x89PNG`` → REAL PNG decode (stdlib zlib inflate + per-scanline
   unfiltering incl. Sub/Up/Average/Paeth, CRC-verified chunk walk)
 - ``RIFF…WAVE`` → REAL PCM WAV decode (stdlib ``wave`` module)
-- ``\\xff\\xd8`` → REAL baseline JPEG decode (SOF0 4:4:4: generic
-  DQT/DHT parse, Huffman + dequant + IDCT in numpy; progressive or
-  subsampled streams are refused loudly)
+- ``\\xff\\xd8`` → REAL JPEG decode (baseline SOF0 + progressive SOF2,
+  any 1/2/4 sampling factors incl. 4:2:0/4:2:2, restart intervals:
+  generic DQT/DHT parse, Huffman + dequant + IDCT in numpy;
+  hierarchical/lossless SOFs are refused loudly)
 - anything else (video codecs need ffmpeg, absent in the sandbox)
   → a deterministic fake, or ``NotImplementedError`` in STRICT mode.
 
@@ -233,12 +234,13 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 # -- baseline JPEG (ITU-T.81 SOF0), stdlib + numpy only ------------------------
 #
-# Subset: baseline sequential DCT, 8-bit precision, 4:4:4 (all sampling
-# factors 1x1), 1 or 3 components, single interleaved scan. The encoder
-# emits canonical per-image Huffman tables (the jpegtran-optimize shape)
-# built from the symbols actually used — valid baseline JPEG without
-# transcribing the Annex-K Huffman constants; the decoder reads DQT/DHT
-# generically, so it decodes any baseline 4:4:4 stream, not just ours.
+# Subset: sequential DCT (SOF0) + progressive (SOF2), 8-bit precision,
+# 1 or 3 components, sampling factors 1/2/4 (4:4:4, 4:2:0, 4:2:2, …),
+# restart intervals. The encoder emits canonical per-image Huffman
+# tables (the jpegtran-optimize shape) built from the symbols actually
+# used — valid baseline JPEG without transcribing the Annex-K Huffman
+# constants; the decoder reads DQT/DHT generically, so it decodes any
+# in-subset stream, not just ours.
 
 # Annex K.1/K.2 example quantization tables (the de-facto quality-50
 # defaults); correctness never depends on them — they ship in DQT.
@@ -395,43 +397,100 @@ def _block_symbols(blocks: list[np.ndarray]) -> tuple[list[tuple], set[int], set
 
 
 def encode_jpeg(px: np.ndarray, qt_luma: np.ndarray | None = None,
-                qt_chroma: np.ndarray | None = None) -> bytes:
-    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF bytes."""
+                qt_chroma: np.ndarray | None = None,
+                sampling: list[tuple[int, int]] | None = None,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → baseline JFIF bytes.
+
+    ``sampling``: per-component (Hi, Vi) factors for color images —
+    ``[(2, 2), (1, 1), (1, 1)]`` is 4:2:0, ``[(2, 1), (1, 1), (1, 1)]``
+    is 4:2:2; default all-1x1 (4:4:4, byte-identical to the pre-sampling
+    encoder). Chroma is box-averaged down after edge-padding the
+    full-resolution plane to the MCU grid, so dummy edge blocks carry
+    real edge data. ``restart_interval``: MCUs between RSTn markers
+    (T.81 DRI/RSTn: entropy stream byte-aligns, DC predictors reset; 0
+    disables)."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
         comps_px = [px.astype(np.float64)]
         qts = [(_JPEG_QT_LUMA if qt_luma is None else qt_luma)]
         qt_ids = [0]
+        sampling = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px)
         comps_px = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         qts = [(_JPEG_QT_LUMA if qt_luma is None else qt_luma),
                (_JPEG_QT_CHROMA if qt_chroma is None else qt_chroma)]
         qt_ids = [0, 1, 1]
-    bh, bw = -(-h // 8), -(-w // 8)
+        sampling = list(sampling) if sampling else [(1, 1)] * 3
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for hi, vi in sampling:
+        if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+            raise ValueError("jpeg: sampling factors must be 1, 2 or 4")
+        if hmax % hi or vmax % vi:
+            raise ValueError("jpeg: sampling factors must divide the maxima")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    # per component: edge-pad the FULL-RES plane to the MCU pixel grid,
+    # box-average down to its sampling resolution, then block/quantize
+    # the whole padded grid (mcuy*vi x mcux*hi blocks — interleaved MCUs
+    # include the dummy edge blocks)
     comp_blocks: list[list[np.ndarray]] = []
+    comp_geo: list[tuple[int, int]] = []  # (prows, pcols) block grid
     for ci, plane in enumerate(comps_px):
-        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        hi, vi = sampling[ci]
+        fh, fw = mcuy * vmax * 8, mcux * hmax * 8
+        padded = np.pad(plane, ((0, fh - h), (0, fw - w)), mode="edge")
+        if (hi, vi) != (hmax, vmax):
+            ry, rx = vmax // vi, hmax // hi
+            padded = padded.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        prows, pcols = mcuy * vi, mcux * hi
         q = qts[qt_ids[ci]]
         blocks = []
-        for by in range(bh):
-            for bx in range(bw):
+        for by in range(prows):
+            for bx in range(pcols):
                 b = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 coef = _DCTM @ b @ _DCTM.T
                 blocks.append(np.rint(coef / q).astype(np.int64))
         comp_blocks.append(blocks)
+        comp_geo.append((prows, pcols))
 
-    # token streams + canonical tables per (class, luma/chroma)
-    streams, tables = [], {}
-    for ci, blocks in enumerate(comp_blocks):
-        tid = 0 if ci == 0 else 1
-        toks, dcs, acs = _block_symbols(blocks)
-        streams.append((tid, toks))
-        d = tables.setdefault(("dc", tid), set())
-        d |= dcs
-        a = tables.setdefault(("ac", tid), set())
-        a |= acs
+    ncomp = len(comps_px)
+    ri = int(restart_interval)
+    # MCU-ordered block sequence per component (raster over MCUs, then
+    # the vi x hi blocks inside each MCU) — DC prediction follows THIS
+    # order, and resets at every restart boundary, so tokenize per
+    # (segment, component)
+    mcu_seq: list[list[np.ndarray]] = []
+    for ci in range(ncomp):
+        hi, vi = sampling[ci]
+        _, pcols = comp_geo[ci]
+        seq = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(vi):
+                    for u in range(hi):
+                        seq.append(comp_blocks[ci][(my * vi + v) * pcols + mx * hi + u])
+        mcu_seq.append(seq)
+    seg_bounds = (
+        [(s, min(s + ri, n_mcu)) for s in range(0, n_mcu, ri)] if ri else [(0, n_mcu)]
+    )
+    # token streams + canonical tables per (class, luma/chroma); tables
+    # span all restart segments (one DHT set per image)
+    tables: dict[tuple[str, int], set[int]] = {}
+    seg_streams = []  # [segment][component] -> per-block token lists
+    for m0, m1 in seg_bounds:
+        streams = []
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            ni = sampling[ci][0] * sampling[ci][1]
+            toks, dcs, acs = _block_symbols(mcu_seq[ci][m0 * ni:m1 * ni])
+            streams.append((tid, ni, toks))
+            tables.setdefault(("dc", tid), set()).update(dcs)
+            tables.setdefault(("ac", tid), set()).update(acs)
+        seg_streams.append(streams)
     huff = {k: _canonical_table(v) for k, v in tables.items()}
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -442,14 +501,16 @@ def encode_jpeg(px: np.ndarray, qt_luma: np.ndarray | None = None,
     for qid in sorted(set(qt_ids)):
         zz = bytes(int(qts[qid][r, c]) for r, c in _ZIGZAG)
         out += seg(0xDB, bytes([qid]) + zz)
-    ncomp = len(comps_px)
     sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qt_ids[ci]])  # 1x1 sampling
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qt_ids[ci]])
     out += seg(0xC0, sof)  # SOF0 baseline
     for (cls, tid), (bits, vals, _) in sorted(huff.items()):
         out += seg(0xC4, bytes([(0 if cls == "dc" else 0x10) | tid])
                    + bytes(bits) + bytes(vals))
+    if ri:
+        out += seg(0xDD, _struct.pack(">H", ri))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         tid = 0 if ci == 0 else 1
@@ -457,24 +518,27 @@ def encode_jpeg(px: np.ndarray, qt_luma: np.ndarray | None = None,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
-    bw_ = _BitWriter()
-    n_mcu = bh * bw
-    for m in range(n_mcu):  # interleaved: one block per component per MCU
-        for tid, toks in streams:
-            for tok in toks[m]:
-                if tok[0] == "dc":
-                    _, size, bits = tok
-                    code, clen = huff[("dc", tid)][2][size]
-                    bw_.put(code, clen)
-                    if size:
-                        bw_.put(bits, size)
-                else:
-                    _, rs, size, bits = tok
-                    code, clen = huff[("ac", tid)][2][rs]
-                    bw_.put(code, clen)
-                    if size:
-                        bw_.put(bits, size)
-    out += bw_.flush()
+    for si, ((m0, m1), streams) in enumerate(zip(seg_bounds, seg_streams)):
+        if si:
+            out += bytes([0xFF, 0xD0 + (si - 1) % 8])  # RSTn between segments
+        bw_ = _BitWriter()
+        for m in range(m1 - m0):  # interleaved MCUs within the segment
+            for tid, ni, toks in streams:
+                for b in range(ni):
+                    for tok in toks[m * ni + b]:
+                        if tok[0] == "dc":
+                            _, size, bits = tok
+                            code, clen = huff[("dc", tid)][2][size]
+                            bw_.put(code, clen)
+                            if size:
+                                bw_.put(bits, size)
+                        else:
+                            _, rs, size, bits = tok
+                            code, clen = huff[("ac", tid)][2][rs]
+                            bw_.put(code, clen)
+                            if size:
+                                bw_.put(bits, size)
+        out += bw_.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -739,15 +803,67 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _decode_baseline_scan(reader, huffs, scan_comps, coef, pred, n_blocks):
-    """SOF0 full-band scan: interleaved MCUs, one block per component
-    (1x1 sampling), DC diff + AC run-length into the coefficient store."""
-    for m in range(n_blocks):
-        for cid, dc_tid, ac_tid in scan_comps:
+def _entropy_segments(blob: bytes, data_start: int) -> tuple[list[bytes], int]:
+    """Split a scan's entropy-coded data at restart markers. In entropy
+    data a literal 0xFF is always stuffed as FF00, so any FF followed by
+    D0-D7 IS an RSTn marker (T.81 B.1.1.3). Returns the unstuffed
+    segments and the position of the next non-restart marker. The RSTn
+    modulo-8 sequence is validated — out-of-order markers mean a corrupt
+    or truncated stream and must fail loudly, not desync silently."""
+    segs: list[bytes] = []
+    j = seg_start = data_start
+    n_rst = 0
+    while True:
+        if j >= len(blob) - 1:
+            segs.append(blob[seg_start:j])
+            break
+        if blob[j] == 0xFF and blob[j + 1] != 0x00:
+            if 0xD0 <= blob[j + 1] <= 0xD7:
+                if blob[j + 1] - 0xD0 != n_rst % 8:
+                    raise ValueError("jpeg: restart marker out of sequence")
+                segs.append(blob[seg_start:j])
+                n_rst += 1
+                j += 2
+                seg_start = j
+                continue
+            segs.append(blob[seg_start:j])
+            break
+        j += 1
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs], j
+
+
+def _restart_iter(segments: list[bytes], ri: int, n_units: int, reset):
+    """Drive one scan's unit loop across its restart segments: yields
+    (reader, unit_index); every ``ri`` units the next entropy segment
+    starts on a fresh byte-aligned reader and ``reset()`` clears the
+    decoder state a restart discards (DC predictors / EOB run — T.81
+    F.2.1.3.1, G.1.2.3). Segment count must match exactly."""
+    reader = _BitReader(segments[0])
+    seg_i = 0
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            reader = _BitReader(segments[seg_i])
+            reset()
+        yield reader, m
+    if seg_i != len(segments) - 1:
+        raise ValueError("jpeg: unexpected restart marker")
+
+
+def _decode_baseline_scan(segments, ri, huffs, units, coef):
+    """SOF0 full-band scan over MCU units (interleaved: Hi x Vi blocks
+    per component per MCU; single-component: one block per unit in the
+    component's own raster). DC diff + AC run-length into the
+    coefficient store; restarts reset the DC predictors."""
+    pred: dict[int, int] = {}
+    for reader, m in _restart_iter(segments, ri, len(units), pred.clear):
+        for cid, idx, dc_tid, ac_tid in units[m]:
             size = _read_huff(reader, huffs[(0, dc_tid)])
             diff = _extend(reader.bits(size), size) if size else 0
-            pred[cid] += diff
-            zz = coef[cid][m]
+            pred[cid] = pred.get(cid, 0) + diff
+            zz = coef[cid][idx]
             zz[0] = pred[cid]
             k = 1
             while k < 64:
@@ -765,33 +881,40 @@ def _decode_baseline_scan(reader, huffs, scan_comps, coef, pred, n_blocks):
                 k += 1
 
 
-def _decode_dc_scan(reader, huffs, scan_comps, coef, pred, n_blocks, ah, al):
+def _decode_dc_scan(segments, ri, huffs, units, coef, pred, ah, al):
     """Progressive DC scan (Ss=Se=0). First pass (Ah=0): diff-coded
     predictors, point-transformed left by Al. Refinement (Ah>0): one raw
-    bit per block sets bit Al (T.81 G.1.2.1 / libjpeg decode_mcu_DC_*)."""
-    for m in range(n_blocks):
-        for cid, dc_tid, _ in scan_comps:
-            zz = coef[cid][m]
+    bit per block sets bit Al (T.81 G.1.2.1 / libjpeg decode_mcu_DC_*).
+    Restarts reset the predictors."""
+    for reader, m in _restart_iter(segments, ri, len(units), pred.clear):
+        for cid, idx, dc_tid, _ in units[m]:
+            zz = coef[cid][idx]
             if ah == 0:
                 size = _read_huff(reader, huffs[(0, dc_tid)])
                 diff = _extend(reader.bits(size), size) if size else 0
-                pred[cid] += diff
+                pred[cid] = pred.get(cid, 0) + diff
                 zz[0] = pred[cid] << al
             else:
                 if reader.bit():
                     zz[0] |= 1 << al
 
 
-def _decode_ac_first_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, al):
+def _decode_ac_first_scan(segments, ri, huffs, ac_tid, units, coef, ss, se, al):
     """Progressive AC first pass (Ah=0): run-length with EOB-run symbols
     (EOBn: s=0, r<15 → run of 2^r + r extra bits blocks ending here);
     values arrive point-transformed (<< Al). T.81 G.1.2.2 /
-    libjpeg decode_mcu_AC_first. Single-component scan per spec."""
-    eobrun = 0
-    for m in range(n_blocks):
-        zz = coef[cid][m]
-        if eobrun > 0:
-            eobrun -= 1
+    libjpeg decode_mcu_AC_first. Single-component scan per spec; a
+    restart truncates any pending EOB run."""
+    state = {"eobrun": 0}
+
+    def reset():
+        state["eobrun"] = 0
+
+    for reader, m in _restart_iter(segments, ri, len(units), reset):
+        cid, idx, _, _ = units[m][0]
+        zz = coef[cid][idx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
             continue
         k = ss
         while k <= se:
@@ -805,30 +928,36 @@ def _decode_ac_first_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, al
                 k += 1
             else:
                 if r != 15:
-                    eobrun = (1 << r) - 1
+                    state["eobrun"] = (1 << r) - 1
                     if r:
-                        eobrun += reader.bits(r)
+                        state["eobrun"] += reader.bits(r)
                     break
                 k += 16  # ZRL
 
 
-def _decode_ac_refine_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, al):
+def _decode_ac_refine_scan(segments, ri, huffs, ac_tid, units, coef, ss, se, al):
     """Progressive AC refinement (Ah=Al+1): newly-nonzero coefficients
     arrive as ±1<<Al with interleaved correction bits for every
     already-nonzero coefficient passed over (including during EOB runs).
-    Mirrors libjpeg decode_mcu_AC_refine / T.81 G.1.2.3."""
+    Mirrors libjpeg decode_mcu_AC_refine / T.81 G.1.2.3. A restart
+    truncates any pending EOB run."""
     p1, m1 = 1 << al, -(1 << al)
-    eobrun = 0
+    state = {"eobrun": 0}
 
-    def correct(zz, k):
-        c = int(zz[k])
-        if c != 0 and reader.bit() and (c & p1) == 0:
-            zz[k] = c + (p1 if c >= 0 else m1)
+    def reset():
+        state["eobrun"] = 0
 
-    for m in range(n_blocks):
-        zz = coef[cid][m]
+    for reader, m in _restart_iter(segments, ri, len(units), reset):
+        cid, idx, _, _ = units[m][0]
+        zz = coef[cid][idx]
+
+        def correct(k):
+            c = int(zz[k])
+            if c != 0 and reader.bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+
         k = ss
-        if eobrun == 0:
+        if state["eobrun"] == 0:
             while k <= se:
                 rs = _read_huff(reader, huffs[(1, ac_tid)])
                 r, s = rs >> 4, rs & 0xF
@@ -838,14 +967,14 @@ def _decode_ac_refine_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, a
                     val = p1 if reader.bit() else m1
                 else:
                     if r != 15:
-                        eobrun = 1 << r
+                        state["eobrun"] = 1 << r
                         if r:
-                            eobrun += reader.bits(r)
+                            state["eobrun"] += reader.bits(r)
                         break  # remaining band handled by the eobrun block
                     # r == 15: ZRL — skip 16 zero-history coefficients
                 while k <= se:
                     if int(zz[k]) != 0:
-                        correct(zz, k)
+                        correct(k)
                     else:
                         if r == 0:
                             break
@@ -854,32 +983,39 @@ def _decode_ac_refine_scan(reader, huffs, cid, ac_tid, coef, n_blocks, ss, se, a
                 if val and k <= se:
                     zz[k] = val
                 k += 1
-        if eobrun > 0:
+        if state["eobrun"] > 0:
             while k <= se:
-                correct(zz, k)
+                correct(k)
                 k += 1
-            eobrun -= 1
+            state["eobrun"] -= 1
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline (SOF0) and progressive (SOF2) 4:4:4 JPEG → (h, w, 3)
-    uint8 RGB. Generic DQT/DHT parse; scans decode into a coefficient
+    """Baseline (SOF0) and progressive (SOF2) JPEG → (h, w, 3) uint8
+    RGB, including subsampled streams (4:2:0 / 4:2:2 / any T.81 Hi x Vi
+    in {1,2,4}) and restart intervals (DRI/RSTn, validated modulo-8
+    sequence). Generic DQT/DHT parse; scans decode into a coefficient
     store (progressive spectral-selection and successive-approximation
-    passes accumulate there) and one shared dequant+IDCT pass finishes.
-    Refuses subsampled, restart-interval, hierarchical/lossless-SOF and
-    baseline-multi-scan files loudly rather than mis-decoding them."""
+    passes accumulate there); one shared dequant+IDCT pass per component
+    plane, then replication upsampling to full resolution. Refuses
+    hierarchical/lossless-SOF frames and double-scanned baseline
+    components loudly rather than mis-decoding them."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qts: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    comps: list[tuple[int, int]] = []  # (comp_id, qt_id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, hi, vi, qt_id)
+    geo: dict[int, tuple] = {}  # cid -> (hi, vi, bxi, byi, pcols)
     h = w = 0
     pos = 2
     progressive = False
     n_scans = 0
-    coef: dict[int, np.ndarray] = {}  # cid -> (n_blocks, 64) int64 zigzag
+    restart_interval = 0
+    coef: dict[int, np.ndarray] = {}  # cid -> (padded blocks, 64) zigzag
     pred: dict[int, int] = {}
-    bh = bw = 0
+    baseline_scanned: set[int] = set()
+    hmax = vmax = 1
+    mcux = mcuy = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -910,13 +1046,24 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             n = body[5]
             for ci in range(n):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("jpeg: only 4:4:4 (1x1 sampling) supported")
-                comps.append((cid, tq))
-            bh, bw = -(-h // 8), -(-w // 8)
-            for cid, _ in comps:
-                coef[cid] = np.zeros((bh * bw, 64), dtype=np.int64)
-                pred[cid] = 0
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    raise ValueError("jpeg: sampling factors must be 1, 2 or 4")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            # MCU grid and per-component block geometry (T.81 A.1.1/A.2):
+            # xi = ceil(w*hi/hmax), yi = ceil(h*vi/vmax); interleaved
+            # scans pad each component to whole MCUs (mcux*hi x mcuy*vi
+            # blocks, dummy edge blocks included in the entropy stream),
+            # non-interleaved scans traverse only the real bxi x byi grid
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for cid, hi, vi, _tq in comps:
+                xi, yi = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+                bxi, byi = -(-xi // 8), -(-yi // 8)
+                pcols, prows = mcux * hi, mcuy * vi
+                geo[cid] = (hi, vi, bxi, byi, pcols)
+                coef[cid] = np.zeros((prows * pcols, 64), dtype=np.int64)
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -936,80 +1083,110 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 huffs[(cls_tid >> 4, cls_tid & 0xF)] = table
                 i += 17 + nvals
         elif marker == 0xDD:
-            # Restart intervals insert RSTn markers that reset the DC
-            # predictors; silently skipping them (as the entropy scan
-            # below does for locating data_end) would decode to garbage.
-            # Refuse loudly, same policy as subsampling.
-            if _struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError("jpeg: restart intervals (DRI) unsupported")
+            restart_interval = _struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             if not comps:
                 raise ValueError("jpeg: SOS before SOF")
-            if n_scans and not progressive:
-                raise ValueError("jpeg: multi-scan files unsupported")
             n = body[0]
             scan_comps = []
             for ci in range(n):
                 cid, tids = body[1 + 2 * ci:3 + 2 * ci]
+                if cid not in geo:
+                    raise ValueError("jpeg: scan names unknown component")
                 scan_comps.append((cid, tids >> 4, tids & 0xF))
             ss, se, ahl = body[1 + 2 * n:4 + 2 * n]
             ah, al = ahl >> 4, ahl & 0xF
-            data_start = pos + 2 + ln
-            # entropy data runs to the next real marker (skip stuffed FF00
-            # and restart markers)
-            j = data_start
-            while j < len(blob) - 1:
-                if blob[j] == 0xFF and blob[j + 1] not in (0x00,) and not (
-                    0xD0 <= blob[j + 1] <= 0xD7
-                ):
-                    break
-                j += 1
-            data = blob[data_start:j].replace(b"\xff\x00", b"\xff")
-            reader = _BitReader(data)
-            n_blocks = bh * bw
+            segments, j = _entropy_segments(blob, pos + 2 + ln)
+            if restart_interval == 0 and len(segments) > 1:
+                raise ValueError("jpeg: restart marker without DRI")
+            # scan units (T.81 A.2): Ns>1 → interleaved MCUs, Hi x Vi
+            # blocks per component each; Ns=1 → one block per unit over
+            # the component's own (unpadded) raster. The restart
+            # interval counts these units.
+            if len(scan_comps) > 1:
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        mcu = []
+                        for cid, dc_tid, ac_tid in scan_comps:
+                            hi, vi, _, _, pcols = geo[cid]
+                            for v in range(vi):
+                                for u in range(hi):
+                                    mcu.append((
+                                        cid,
+                                        (my * vi + v) * pcols + mx * hi + u,
+                                        dc_tid, ac_tid,
+                                    ))
+                        units.append(mcu)
+            else:
+                cid, dc_tid, ac_tid = scan_comps[0]
+                _, _, bxi, byi, pcols = geo[cid]
+                units = [
+                    [(cid, r * pcols + c, dc_tid, ac_tid)]
+                    for r in range(byi) for c in range(bxi)
+                ]
+            ri = restart_interval
             if not progressive:
                 if (ss, se, ah, al) != (0, 63, 0, 0):
                     raise ValueError("jpeg: invalid baseline scan header")
-                _decode_baseline_scan(reader, huffs, scan_comps, coef, pred, n_blocks)
+                # baseline components may arrive across multiple
+                # (non-interleaved) scans, but never twice — a repeated
+                # component means a corrupt or unsupported stream
+                for cid, _, _ in scan_comps:
+                    if cid in baseline_scanned:
+                        raise ValueError("jpeg: component scanned twice")
+                    baseline_scanned.add(cid)
+                _decode_baseline_scan(segments, ri, huffs, units, coef)
             elif ss == 0:
                 if se != 0:
                     raise ValueError("jpeg: progressive DC scan must have Se=0")
                 if ah == 0:
-                    for cid, _, _ in scan_comps:  # fresh predictors per scan
-                        pred[cid] = 0
-                _decode_dc_scan(reader, huffs, scan_comps, coef, pred,
-                                n_blocks, ah, al)
+                    pred = {}  # fresh predictors per DC-first scan
+                _decode_dc_scan(segments, ri, huffs, units, coef, pred, ah, al)
             else:
                 if len(scan_comps) != 1:
                     raise ValueError("jpeg: progressive AC scan must be single-component")
-                cid, _, ac_tid = scan_comps[0]
+                _, _, ac_tid = scan_comps[0]
                 if ah == 0:
-                    _decode_ac_first_scan(reader, huffs, cid, ac_tid, coef,
-                                          n_blocks, ss, se, al)
+                    _decode_ac_first_scan(segments, ri, huffs, ac_tid, units,
+                                          coef, ss, se, al)
                 else:
-                    _decode_ac_refine_scan(reader, huffs, cid, ac_tid, coef,
-                                           n_blocks, ss, se, al)
+                    _decode_ac_refine_scan(segments, ri, huffs, ac_tid, units,
+                                           coef, ss, se, al)
             n_scans += 1
             pos = j
             continue
         pos += 2 + ln
     if n_scans == 0 or not comps:
         raise ValueError("jpeg: missing SOS/SOF")
+    if not progressive and len(baseline_scanned) != len(comps):
+        raise ValueError("jpeg: baseline component never scanned")
     planes = []
-    for pi, (cid, tq) in enumerate(comps):
+    for cid, hi, vi, tq in comps:
         qt = qts[tq]
-        plane = np.zeros((bh * 8, bw * 8))
-        for by in range(bh):
-            for bx in range(bw):
-                zz = coef[cid][by * bw + bx]
+        _, _, bxi, byi, pcols = geo[cid]
+        plane = np.zeros((byi * 8, bxi * 8))
+        for by in range(byi):
+            for bx in range(bxi):
+                zz = coef[cid][by * pcols + bx]
                 block = np.zeros((8, 8))
                 for j, (r, c) in enumerate(_ZIGZAG):
                     block[r, c] = zz[j]
                 block *= qt
                 px = _DCTM.T @ block @ _DCTM + 128.0
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = px
-        planes.append(plane)
-    planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+        # crop to the component's real extent, then replication-upsample
+        # to full resolution (full-res pixel (y, x) reads component
+        # sample (y*vi//vmax, x*hi//hmax)); T.81 leaves the upsampling
+        # filter to the decoder — box replication keeps it exact for the
+        # chroma-constant fixtures the tests pin
+        xi, yi = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        plane = plane[:yi, :xi]
+        if hi != hmax or vi != vmax:
+            plane = plane[(np.arange(h) * vi) // vmax][:, (np.arange(w) * hi) // hmax]
+        else:
+            plane = plane[:h, :w]
+        planes.append(np.clip(np.rint(plane), 0, 255))
     if len(planes) == 1:
         return np.repeat(planes[0].astype(np.uint8)[:, :, None], 3, axis=2)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
@@ -1278,7 +1455,8 @@ def synth_media_real(spark, n: int = 12, seed: int = 42) -> DataFrame:
 
 
 def synth_media_jpeg(spark, n: int = 4, seed: int = 42,
-                     progressive: bool = False) -> DataFrame:
+                     progressive: bool = False,
+                     subsampled: bool = False) -> DataFrame:
     """Image table of REAL JPEGs. Flat GRAY images with an even pixel
     value: the whole pipeline (color transform, padding, DCT, Annex-K
     quantization, Huffman) round-trips EXACTLY for them — the DC
@@ -1289,16 +1467,30 @@ def synth_media_jpeg(spark, n: int = 4, seed: int = 42,
     (spectral-selection + successive-approximation scans, ids jp####,
     seed shifted so the gray values differ from the baseline set) —
     progressive decode reconstructs identical coefficients, so the
-    analytic oracle carries over unchanged."""
+    analytic oracle carries over unchanged. ``subsampled=True`` encodes
+    it as 4:2:0 with a 2-MCU restart interval (ids js####, seed shifted
+    again): a flat plane box-averages to itself and Cb=Cr=128 stays
+    zero-coefficient after decimation, so the same exactness argument
+    covers the subsampling, upsampling and RSTn resync paths."""
     rows = []
     enc = encode_jpeg_progressive if progressive else encode_jpeg
-    prefix = "jp" if progressive else "j"
+    prefix = "js" if subsampled else ("jp" if progressive else "j")
     if progressive:
         seed += 1  # distinct (still even) gray values for the SOF2 rows
+    elif subsampled:
+        seed += 2  # distinct set again for the 4:2:0+DRI rows
     for i in range(n):
         w, h = 20 + (i % 3) * 7, 14 + (i % 2) * 9  # exercises edge padding
         v = (seed + 2 * i * 13) % 128 * 2  # even ⇒ exact DC round-trip
         px = np.full((h, w, 3), v, dtype=np.uint8)
+        if subsampled:
+            rows.append((f"{prefix}{i:04d}", "image",
+                         encode_jpeg(px, sampling=[(2, 2), (1, 1), (1, 1)],
+                                     restart_interval=2),
+                         {"mime": "image/jpeg", "width": w, "height": h,
+                          "n_channels": 3, "duration_ms": None,
+                          "sample_rate": None}))
+            continue
         meta = {"mime": "image/jpeg", "width": w, "height": h, "n_channels": 3,
                 "duration_ms": None, "sample_rate": None}
         rows.append((f"{prefix}{i:04d}", "image", enc(px), meta))

@@ -371,22 +371,31 @@ def test_jpeg_refuses_unsupported_variants():
     lossless = bytes(blob[:i + 1]) + b"\xc3" + bytes(blob[i + 2:])
     with pytest.raises(ValueError, match="SOF0/SOF2"):
         decode_jpeg(lossless)
+    # 2x2/2x1 sampling is SUPPORTED since r5; factor 3 stays out of the
+    # T.81 {1,2,4} set and must refuse
     sub = bytearray(blob)
-    sub[i + 11] = 0x22  # luma sampling 2x2
+    sub[i + 11] = 0x33  # luma sampling 3x3 — invalid factor
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(sub))
-    # r5 ADVICE: restart intervals reset DC predictors mid-scan; skipping
-    # RSTn silently would decode garbage — must refuse, like SOF2
+    # restart intervals are SUPPORTED since r5: a declared DRI larger
+    # than the MCU count (no RSTn in the stream) decodes identically...
+    base = decode_jpeg(bytes(blob))
     dri = bytes(blob[:i]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(blob[i:])
-    with pytest.raises(ValueError, match="restart"):
-        decode_jpeg(dri)
-    # ...but a zero interval means "no restarts" and must stay decodable
+    assert np.array_equal(decode_jpeg(dri), base)
+    # ...and a zero interval still means "no restarts"
     dri0 = bytes(blob[:i]) + b"\xff\xdd\x00\x04\x00\x00" + bytes(blob[i:])
-    assert decode_jpeg(dri0).shape == (8, 8, 3)
-    # a second SOS (multi-scan baseline) must refuse, not extend the scan
+    assert np.array_equal(decode_jpeg(dri0), base)
+    # an RSTn in the entropy stream with NO declared DRI must refuse
+    # (desyncing silently would decode garbage)
     assert blob[-2:] == b"\xff\xd9"
+    rst = bytes(blob[:-2]) + b"\xff\xd0" + bytes(blob[-2:])
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(rst)
+    # a second SOS re-naming an already-decoded component must refuse,
+    # not silently re-decode it (baseline multi-scan is only legal over
+    # DISJOINT component sets)
     sos2 = bytes(blob[:-2]) + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + b"\xff\xd9"
-    with pytest.raises(ValueError, match="multi-scan"):
+    with pytest.raises(ValueError, match="scanned twice"):
         decode_jpeg(sos2)
 
 
@@ -445,3 +454,70 @@ def test_jpeg_progressive_through_engine(spark):
     got = {r.media_id: r.luma for r in decode_image_features(media).select(
         "media_id", F.round("mean_luma", 3).alias("luma")).collect()}
     assert got == {"jp0000": 86.0, "jp0001": 138.0}
+
+
+def test_jpeg_subsampled_and_restart():
+    """4:2:0 / 4:2:2 sampling + restart intervals (r5, the two variants
+    that dominate a real Common-Crawl image corpus). Pins:
+      - restart invariance: RSTn segmentation changes only entropy
+        framing (byte-aligned segments, DC predictor resets), so decode
+        is bit-identical at every interval, for 4:4:4 and 4:2:0 alike;
+      - chroma-flat exactness: images whose Cb/Cr are constant decode
+        IDENTICALLY under 4:2:0 and 4:4:4 (box decimation and
+        replication upsampling are exact for flat planes);
+      - the emitted stream really is subsampled/restart-marked."""
+    import numpy as np
+
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    S420 = [(2, 2), (1, 1), (1, 1)]
+    img = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+    d444 = decode_jpeg(encode_jpeg(img))
+    d420 = decode_jpeg(encode_jpeg(img, sampling=S420))
+    for R in (1, 2, 5):
+        br = encode_jpeg(img, restart_interval=R)
+        assert b"\xff\xdd" in br and b"\xff\xd0" in br
+        assert np.array_equal(decode_jpeg(br), d444), f"444 DRI={R}"
+        br420 = encode_jpeg(img, sampling=S420, restart_interval=R)
+        assert np.array_equal(decode_jpeg(br420), d420), f"420 DRI={R}"
+    # grayscale-content RGB (chroma flat 128): 420 == 444 exactly
+    g = rng.integers(0, 256, (19, 26), dtype=np.uint8)
+    rgbg = np.repeat(g[:, :, None], 3, axis=2)
+    blob420 = encode_jpeg(rgbg, sampling=S420)
+    # SOF declares 2x2 luma sampling → really subsampled
+    i = blob420.find(b"\xff\xc0")
+    assert blob420[i + 11] == 0x22
+    assert np.array_equal(decode_jpeg(blob420), decode_jpeg(encode_jpeg(rgbg)))
+    # constant color (chroma flat at a non-128 value): exact across
+    # 4:4:4 / 4:2:0 / 4:2:2+DRI, within quantization of the constant
+    flat = np.full((18, 23, 3), (37, 91, 203), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(flat))
+    assert np.array_equal(a, decode_jpeg(encode_jpeg(flat, sampling=S420)))
+    assert np.array_equal(a, decode_jpeg(encode_jpeg(
+        flat, sampling=[(2, 1), (1, 1), (1, 1)], restart_interval=1)))
+    # corrupt restart sequencing must refuse, not desync
+    br = bytearray(encode_jpeg(img, restart_interval=1))
+    j = br.find(b"\xff\xd0")
+    assert j > 0
+    br[j + 1] = 0xD5  # out-of-order RSTn
+    try:
+        decode_jpeg(bytes(br))
+        raise AssertionError("out-of-order RSTn not refused")
+    except ValueError as exc:
+        assert "restart" in str(exc)
+
+
+def test_jpeg_subsampled_through_engine(spark):
+    """m01's Spark path over 4:2:0+DRI payloads: flat even-gray decodes
+    to the constructed value exactly through decimation and resync."""
+    from pyspark.sql import functions as F
+
+    from ares_spark.operators.multimodal import (
+        decode_image_features, synth_media_jpeg,
+    )
+
+    media = synth_media_jpeg(spark, n=2, subsampled=True)
+    got = {r.media_id: r.luma for r in decode_image_features(media).select(
+        "media_id", F.round("mean_luma", 3).alias("luma")).collect()}
+    assert got == {"js0000": 88.0, "js0001": 140.0}

@@ -246,6 +246,32 @@ def test_jpeg_random_image_roundtrip_bounded(seed):
     assert abs(float(out.mean()) - float(px.mean())) <= 16.0
 
 
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=1, max_value=6),
+    st.sampled_from([[(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)],
+                     [(2, 1), (1, 1), (1, 1)], [(1, 2), (1, 1), (1, 1)],
+                     [(4, 1), (2, 1), (1, 1)]]),
+)
+@_settings
+def test_jpeg_sampling_restart_invariance(seed, ri, sampling):
+    """For ANY image, sampling layout and restart interval: the restart
+    segmentation changes only the entropy framing (byte-aligned segments
+    + DC predictor resets), never the decoded pixels — decode with
+    DRI=ri is bit-identical to decode with no DRI at the same sampling.
+    Also pins that every layout decodes (MCU geometry, dummy edge
+    blocks, replication upsampling) without raising on awkward sizes."""
+    from ares_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    h, w = int(rng.randint(1, 35)), int(rng.randint(1, 35))
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    ref = decode_jpeg(encode_jpeg(px, sampling=sampling))
+    assert ref.shape == (h, w, 3)
+    got = decode_jpeg(encode_jpeg(px, sampling=sampling, restart_interval=ri))
+    assert np.array_equal(got, ref)
+
+
 @given(st.recursive(
     st.none() | st.booleans() | st.integers(-1000, 1000)
     | st.text(st.characters(codec="utf-8"), max_size=8),
