@@ -332,13 +332,22 @@ def politeness_budget_col(
     """Per-generation fetch budget for a host with a crawl-delay:
     max(1, floor(window / effective_delay)), where effective_delay adds the
     reference's per-wait uniform jitter (throttle.rs:67-73) as a seeded
-    deterministic roll per (host, generation) — replay-stable."""
+    deterministic roll per (host, generation) — replay-stable.
+
+    NULL-preserving: a host with no crawl-delay (null after the budgets
+    left join) has NO politeness budget — the result must stay null so
+    F.least skips it. greatest(1, floor(w/null)) would collapse to 1
+    (greatest SKIPS nulls), silently throttling every delay-less host to
+    one fetch per generation whenever any robots corpus is present."""
     delay = delay_col if not isinstance(delay_col, str) else F.col(delay_col)
     if jitter_ms > 0:
         h = F.col(host_col) if isinstance(host_col, str) else host_col
         roll = F.pmod(F.xxhash64(h, F.lit(generation), F.lit(seed)), F.lit(jitter_ms + 1))
         delay = delay + roll / F.lit(1000.0)
-    return F.greatest(F.lit(1), F.floor(F.lit(window_s) / delay)).cast("int")
+    return F.when(
+        delay.isNotNull(),
+        F.greatest(F.lit(1), F.floor(F.lit(window_s) / delay)).cast("int"),
+    )
 
 
 def child_score_expr(cfg: "CrawlConfig"):

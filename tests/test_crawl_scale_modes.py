@@ -84,6 +84,34 @@ def test_crawl_delay_budget_from_robots(spark, tmp_path_factory):
     assert sum(per_gen) == 5  # all pages eventually visited
 
 
+def test_crawl_delay_does_not_throttle_other_hosts(spark, tmp_path_factory):
+    """A crawl-delay on ONE host must not cap the others: hosts missing
+    from the budgets table get a NULL politeness budget (unlimited), not
+    the greatest(1, floor(w/null))=1 collapse (greatest skips nulls) that
+    would silently serialize every delay-less host to 1 fetch/generation
+    the moment any robots corpus carries a Crawl-delay."""
+    slow, fast = "https://slow.example.com", "https://fast.example.com"
+    spec = {f"{slow}/": [f"{fast}/p{i}" for i in range(6)]}
+    for i in range(6):
+        spec[f"{fast}/p{i}"] = []
+    pages = _mk_pages(spark, spec)
+    ckpt = str(tmp_path_factory.mktemp("crawl_delay_mixed"))
+    run_crawl(
+        spark, pages, [f"{slow}/"], ckpt,
+        CrawlConfig(max_depth=1, politeness_window_s=60.0, use_bloom=False,
+                    max_generations=10,
+                    allowed_domains=["slow.example.com", "fast.example.com"]),
+        robots_raw={"slow.example.com": "User-agent: *\nCrawl-delay: 30\n"},
+    )
+    visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")
+    fast_gens = [
+        r.generation
+        for r in visits.filter(F.col("url").contains("fast")).collect()
+    ]
+    # all six fast-host pages fetch in ONE generation (no budget applies)
+    assert len(fast_gens) == 6 and len(set(fast_gens)) == 1
+
+
 def test_bloom_tier_matches_exact(spark, tmp_path_factory):
     """filter_unseen with the Bloom tier returns exactly the exact-path
     result (false positives rescued by the backstop join)."""
