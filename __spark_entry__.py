@@ -1322,7 +1322,11 @@ def q_c02_crawl_trace(spark, sf_dir):
         crawl_site_pages(spark),
         [CRAWL_SEED_URL],
         ckpt,
-        CrawlConfig(schema_spec="blog@latest", max_depth=1, use_bloom=False),
+        # local_max_batch=0 pins THIS oracle to the distributed executor;
+        # c04/c06 run the default driver-local small-generation path —
+        # both engines stay externally trace-checked every round
+        CrawlConfig(schema_spec="blog@latest", max_depth=1, use_bloom=False,
+                    local_max_batch=0),
         session_id="trace-session",
     )
     visits = SnapshotStore(ckpt).read_all_batches(spark, "visits")

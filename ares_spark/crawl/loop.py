@@ -180,6 +180,15 @@ class CrawlConfig:
     # overlap the NEXT generation's claim ordering inside this
     # generation's checkpoint barrier (measured A/B knob)
     prefetch_ordering: bool = True
+    # driver-local small-generation fast path (crawl/localgen.py): a
+    # generation whose claimable batch is at most local_max_batch rows —
+    # the BFS ramp, retry-only and politeness-capped generations — runs
+    # entirely on the driver (~1 Spark job instead of ~6), writing the
+    # identical checkpoint layout. Hands off to the distributed path the
+    # moment the batch, the enqueued-url count (local_max_state), or the
+    # Bloom activation threshold outgrows it. 0 disables.
+    local_max_batch: int = 2048
+    local_max_state: int = 100_000
 
 
 def seed_frontier(
@@ -393,6 +402,11 @@ class CrawlState:
         # generation's checkpoint barrier: {"batch", "n", "batch_ts",
         # "pins"} — consumed (or invalidated on a time-warp) by _drive
         self.prefetch = None
+        # driver-local fast-path mirror (crawl/localgen.LocalCrawl);
+        # local_dead latches once the crawl outgrows it — the sidecar
+        # Bloom tier is distributed-only, so the loop never goes back
+        self.local = None
+        self.local_dead = False
 
 
 def run_crawl(
@@ -499,7 +513,38 @@ def _drive(spark, pages, state, cfg, robots_raw, schema, session_id) -> dict:
     last_summary = {"generations": state.generation, "session_id": session_id}
     from ares_spark.operators.ranking import adopt_pins, release_rank_pins
 
+    from ares_spark.crawl.localgen import LocalCrawl, local_eligible
+
     while state.generation < cfg.max_generations:
+        # driver-local small-generation fast path: tiny batches (BFS
+        # ramp / retry-only / politeness-capped) run on the driver with
+        # one Spark job total; state round-trips through the same
+        # checkpoint layout, so the handoff below is just "read it back"
+        if state.local is None and not state.local_dead:
+            if local_eligible(state, cfg, robots_raw):
+                state.local = LocalCrawl.hydrate(
+                    state, cfg, robots_raw, schema, session_id
+                )
+            else:
+                state.local_dead = True
+        if state.local is not None:
+            sig = state.local.step(spark, pages, state, cfg)
+            if sig == "done":
+                break
+            if sig != "handoff":
+                if isinstance(sig, dict):
+                    last_summary = sig
+                continue
+            # outgrew the gates: hydrate the distributed path from disk
+            # and never come back (Bloom sidecars are distributed-only)
+            state.local = None
+            state.local_dead = True
+            from pyspark import StorageLevel
+
+            state.frontier = state.flog.read_live(
+                spark, state.generation - 1
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            state.seen = _read_seen(spark, state.store, state.generation - 1)
         pf, state.prefetch = state.prefetch, None
         if pf is not None and pf["batch_ts"] == state.batch_ts:
             # ordering was prefetched inside the previous generation's

@@ -33,6 +33,9 @@ FANOUT = int(os.environ.get("ARES_CRAWLBENCH_FANOUT", "8"))
 # generations then scan only their batch's buckets instead of the whole
 # corpus. 0 = plain parquet corpus (the r4 baseline).
 BUCKETS = int(os.environ.get("ARES_CRAWLBENCH_BUCKETS", "0"))
+# A/B knob for the driver-local small-generation path (localgen.py):
+# unset = engine default, 0 = disabled (the r4 all-distributed baseline)
+LOCAL_MAX_BATCH = os.environ.get("ARES_CRAWLBENCH_LOCAL_MAX_BATCH")
 
 
 def main() -> None:
@@ -78,6 +81,7 @@ def main() -> None:
         max_generations=40,
         max_retries=0,
         prefetch_ordering=os.environ.get("ARES_PREFETCH_ORDERING", "1") == "1",
+        **({"local_max_batch": int(LOCAL_MAX_BATCH)} if LOCAL_MAX_BATCH else {}),
     )
     t0 = time.time()
     summary = run_crawl(spark, pages, [seed_url], ckpt, cfg)
