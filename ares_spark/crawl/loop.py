@@ -799,8 +799,6 @@ def _run_generation(
         # append; the elog delta below is built from the written batch, so
         # skipped urls keep their prior latest row untouched
         persistable = persistable.filter(F.col("changed"))
-    state.store.append_batch(persistable, "extractions", g)
-    t0 = _tick("extractions_append", t0, g)
     # extractions_latest delta: this generation's valid rows reduced to one
     # per url (claim_pos tiebreak, matching get_latest). Built from the
     # just-written parquet — 3 columns read back beats re-running the
@@ -819,6 +817,25 @@ def _run_generation(
         state.elog.append_delta(ext_delta, g)
         state.elog.maybe_compact(spark, g)
 
+    # the extraction append + its elog chain touch no state the spider or
+    # the checkpoint barrier needs (different table dirs; elog is this
+    # chain's alone), so the append — the single most expensive action of
+    # a big generation — overlaps the spider's candidate build/rank
+    # instead of serializing ahead of it. Concurrent first-materialization
+    # of the shared `processed` cache is safe (per-partition cache locks);
+    # the barrier below joins the chain before the manifest commits.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ext_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _ext_chain():
+        t = time.time()
+        state.store.append_batch(persistable, "extractions", g)
+        _tick("extractions_append", t, g)
+        _elog_delta()
+
+    _ext_future = _ext_pool.submit(_ext_chain)
+
     # --- visit log (claim events, reference trace order) ----------------------
     visits = fetched.select(
         (F.lit(state.visit_base) + F.col("visit_seq") - 1).alias("visit_pos"),
@@ -830,10 +847,10 @@ def _run_generation(
     def _visits_append():
         state.store.append_batch(visits, "visits", g)
 
-    # _elog_delta and _visits_append join the big checkpoint barrier below
-    # (r5): they are independent of the spider, so running the spider's
-    # lineage build + rank first lets all six writes overlap in one group
-    # instead of paying two barriers per generation.
+    # _visits_append joins the big checkpoint barrier below; the
+    # extraction append + elog chain started above is already running
+    # alongside the spider and joins the same barrier via its future —
+    # one barrier per generation, every independent write overlapped.
 
     # --- spider: next-generation children -------------------------------------
     spider_src = processed.filter(
@@ -1113,8 +1130,12 @@ def _run_generation(
     def _url_seen_append():
         state.store.append_batch(new_seen, "url_seen", g)
 
-    _parallel_actions(_bloom_update, _stats_and_breaker, _frontier_delta,
-                      _url_seen_append, _elog_delta, _visits_append)
+    try:
+        _parallel_actions(_bloom_update, _stats_and_breaker, _frontier_delta,
+                          _url_seen_append, _visits_append,
+                          _ext_future.result)
+    finally:
+        _ext_pool.shutdown(wait=False)
     t0 = _tick("checkpoint+prefetch(par x6)", t0, g)
     shard_stats: dict[int, dict] = {}
     for r in shard_rows:
