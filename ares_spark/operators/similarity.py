@@ -226,29 +226,44 @@ def embedding_near_pairs(
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine exact rounded
     to 6. At 10^9 rows raise ``planes`` so 2^planes tracks corpus size
     and bucket occupancy stays task-sized.
+
+    Shuffle economics: the bucket join moves (id, table, bucket) INTS
+    only — the embedding vectors must NOT ride the explode (tables ×
+    (planes+1) copies of a dim-float array through the exchange, a
+    ~100× exchange-payload amplification). The vectors re-join AFTER
+    the candidate pairs dedup, keyed by id; AQE broadcasts that side
+    when the corpus is small and hash-joins at scale, so the expensive
+    payload crosses the wire at most twice per surviving candidate
+    instead of 144× per row. Sandbox wall at sf0.1 only drops 8.5→7.1s
+    (signature matmul dominates there); the exchange-bytes cut is the
+    10^9-row claim.
     """
     spark = df.sparkSession
     sigs = table_signatures_col(spark, F.col(vec_col), dim, planes, tables, seed)
     b = df.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("__t", "__b")
+        F.col(id_col), F.posexplode(sigs).alias("__t", "__b")
     )
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"), "__t", "__b"
-    )
+    left = b.select(F.col(id_col).alias("id_a"), "__t", "__b")
     if multiprobe_bits >= 1:
         variants = [F.col("__b")] + [
             F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
         ]
         left = left.select(
-            "id_a", "__ea", "__t", F.explode(F.array(*variants)).alias("__b")
+            "id_a", "__t", F.explode(F.array(*variants)).alias("__b")
         )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"), "__t", "__b"
-    )
+    right = b.select(F.col(id_col).alias("id_b"), "__t", "__b")
     cand = (
         left.join(right, ["__t", "__b"])  # equi-join on bucket — never a cross
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cand = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"),
+                              F.col(vec_col).alias("__ea")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("__eb")), "id_b")
     )
     return (
         cand.withColumn("cosine", cosine(F.col("__ea"), F.col("__eb")))
