@@ -226,6 +226,68 @@ def test_parity_bucketed_corpus_fetch(spark, site, tmp_path_factory, tmp_path):
     _assert_equal_state(spark, ck_l, ck_d, s_l["generation"])
 
 
+def test_parity_property_random_graphs(spark, tmp_path_factory):
+    """Property form of the parity suite: randomized small web graphs
+    (dangling links, cross-host edges, self-loops, duplicate links) ×
+    randomized config draws (ordering, depth, retries, budgets, scores,
+    skip_save, compaction cadence) must produce identical full state
+    under both executors. Catches interaction bugs the hand-picked
+    matrix misses."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    hosts = ["h1.example.net", "h2.example.net", "h3.example.net"]
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(4, 9), label="n_pages")
+        urls = [f"https://{hosts[i % len(hosts)]}/p{i}" for i in range(n)]
+        spec = {}
+        for i, u in enumerate(urls):
+            k = data.draw(st.integers(0, 4), label=f"fanout{i}")
+            targets = [
+                urls[data.draw(st.integers(0, n - 1), label=f"t{i}_{j}")]
+                for j in range(k)
+            ]
+            if data.draw(st.booleans(), label=f"dangle{i}"):
+                targets.append(f"https://{hosts[0]}/missing{i}")
+            spec[u] = targets
+        cfg = dict(
+            schema_spec="blog@latest",
+            max_depth=data.draw(st.integers(1, 3), label="depth"),
+            max_pages=data.draw(st.integers(2, 40), label="max_pages"),
+            max_retries=data.draw(st.integers(0, 2), label="retries"),
+            ordering=data.draw(st.sampled_from(["fifo", "host_rr"]),
+                               label="ordering"),
+            per_host_budget=data.draw(st.sampled_from([None, 1, 2]),
+                                      label="budget"),
+            score_mode=data.draw(
+                st.sampled_from(["zero", "link_position", "parent_decay"]),
+                label="score"),
+            persist_unchanged=data.draw(st.booleans(), label="persist"),
+            compact_interval=data.draw(st.sampled_from([2, 8]), label="ci"),
+            use_bloom=False, max_generations=12,
+            allowed_domains=hosts,
+        )
+        pages = _mk_pages(spark, spec)
+        outs = []
+        for mode, lmb in (("local", 2048), ("dist", 0)):
+            ckpt = str(tmp_path_factory.mktemp(f"lg_prop_{mode}"))
+            s = run_crawl(spark, pages, [urls[0]], ckpt,
+                          CrawlConfig(**{**cfg, "local_max_batch": lmb}),
+                          session_id="s")
+            outs.append((ckpt, s["generation"]))
+        (ck_l, g_l), (ck_d, g_d) = outs
+        assert g_l == g_d
+        _assert_equal_state(spark, ck_l, ck_d, g_l,
+                            compact_interval=cfg["compact_interval"])
+
+    run()
+
+
 def test_local_generations_issue_one_spark_job(spark, site, tmp_path_factory):
     """The economics the fast path exists for: a fully-local generation
     issues exactly ONE Spark job (the bounded corpus probe). Tracked via
