@@ -34,7 +34,9 @@ a ramp generation costs ~1 job instead of ~6.
 Scale honesty: this path is gated by ``cfg.local_max_batch`` (batch
 rows) and ``cfg.local_max_state`` (total enqueued urls) — bounds chosen
 so the hydrated frontier/seen/extraction-latest state is trivially
-driver-sized. Beyond the gates — and the moment the Bloom sidecar tier
+driver-sized. The fetch also collects the batch's html payloads to the
+driver: size ``local_max_batch`` against page weight (2048 × ~100 KB
+real CC pages ≈ 200 MB; drop the knob if pages run to megabytes). Beyond the gates — and the moment the Bloom sidecar tier
 would activate — the loop hands off to the distributed path and never
 comes back (the sidecars are maintained distributed-only; a local
 generation must not run while sidecars exist or they would silently
