@@ -26,6 +26,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan an unsplittable scan out to the session's cores.
+
+    The sf tables are single-file/single-row-group parquet, and a row
+    group goes to exactly one scan task — so everything up to the first
+    exchange (in particular per-row Arrow UDF stages and JVM array folds)
+    runs on ONE core no matter how many the session has. Guide §2.5
+    ("input skew: one huge unsplittable file → repartition immediately
+    after the read"): one cheap round-robin exchange of the rows buys
+    full-width parallelism for the expensive stage. Values are unchanged
+    (round-robin repartition is deterministic under Spark's
+    sortBeforeRepartition default; no query result depends on row order)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -353,7 +369,7 @@ def q_a20_priority_frontier(spark, sf_dir):
 def q_t01_token_count(spark, sf_dir):
     from ares_spark.functions.text import bpe_ish_token_count, token_count
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_subtokens"),
@@ -367,7 +383,7 @@ def q_t02_quality_score(spark, sf_dir):
     from ares_spark.functions.text import quality_metrics
 
     m = quality_metrics("text")
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         m.punct_ratio.alias("punct_ratio"),
         m.stopword_ratio.alias("stopword_ratio"),
@@ -378,7 +394,7 @@ def q_t02_quality_score(spark, sf_dir):
 def q_t03_lang_id(spark, sf_dir):
     from ares_spark.functions.text import lang_id
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", lang_id("text").alias("detected_lang")
     )
 
@@ -386,7 +402,7 @@ def q_t03_lang_id(spark, sf_dir):
 def q_t04_fingerprint(spark, sf_dir):
     from ares_spark.functions.text import doc_fingerprint
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", doc_fingerprint("text").alias("fingerprint")
     )
 
@@ -422,7 +438,7 @@ def q_t07_repetition(spark, sf_dir):
     codegen, recomputed exactly by DuckDB list ops."""
     from ares_spark.functions.text import repetition_metrics
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", repetition_metrics("text").alias("r")
     ).select("doc_id", "r.dup_trigram_frac", "r.top_bigram_frac", "r.n_tokens")
 
@@ -561,7 +577,7 @@ def q_t05_fingerprint64(spark, sf_dir):
     no sort/concat; blake2b not in DuckDB → rows-only check)."""
     from ares_spark.functions.text import doc_fingerprint64
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", doc_fingerprint64("text").alias("fingerprint64")
     )
 
@@ -650,7 +666,7 @@ def q_d07b_embedding_near_pairs_lsh(spark, sf_dir):
 def q_s01_ann_bruteforce(spark, sf_dir):
     from ares_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -667,7 +683,7 @@ def q_s02_ann_lsh(spark, sf_dir):
     oracle (rows-only check) — recall vs brute force asserted in pytest."""
     from ares_spark.operators.similarity import lsh_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1341,7 +1357,7 @@ def q_s03_ann_ivf(spark, sf_dir):
     IVF's worst case — see tools/gen_scale_goldens.py)."""
     from ares_spark.operators.similarity import ivf_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(

@@ -207,37 +207,214 @@ def embedding_near_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at scale: multi-table LSH
     bucket candidate generation + exact-cosine confirm — the packaged
     100-TB path for what q_d07's all-pairs baseline computes exactly.
 
-    Shape: each row gets ``tables`` sign-bit signatures (one Arrow matmul
-    pass, table_signatures_col); candidates are rows sharing a
-    (table, bucket) key — an EQUI self-join, so the shuffle keys on
-    bucket and cost tracks sum(occupancy²) per table (dup density), never
-    n². One side additionally probes 1-bit bucket flips
-    (``multiprobe_bits``), covering Hamming-1 signature splits. Pairs
-    dedup on (id_a, id_b) before the exact cosine, and only pairs with
-    cosine ≥ ``threshold`` survive — so every emitted pair is EXACT; LSH
-    only bounds which pairs are examined (recall knob: tables up,
-    planes down, multiprobe on).
+    Candidate SET (identical in both execution paths below): all pairs
+    (a < b) whose sign-bit signatures agree in some table up to Hamming
+    distance ``multiprobe_bits`` (0 = exact bucket match only). Every
+    emitted pair is confirmed with the EXACT cosine ≥ ``threshold`` —
+    LSH only bounds which pairs are examined (recall knob: tables up,
+    planes down, multiprobe on). Returns (id_a, id_b, cosine) with
+    id_a < id_b, cosine rounded to 6. At 10^9 rows raise ``planes`` so
+    2^planes tracks corpus size and bucket occupancy stays task-sized.
 
-    Returns (id_a, id_b, cosine) with id_a < id_b, cosine exact rounded
-    to 6. At 10^9 rows raise ``planes`` so 2^planes tracks corpus size
-    and bucket occupancy stays task-sized.
+    Two physical paths, chosen by corpus size (guide-§8 shape: decide
+    with small rows, move heavy bytes at most once):
 
-    Shuffle economics: the bucket join moves (id, table, bucket) INTS
-    only — the embedding vectors must NOT ride the explode (tables ×
-    (planes+1) copies of a dim-float array through the exchange, a
-    ~100× exchange-payload amplification). The vectors re-join AFTER
-    the candidate pairs dedup, keyed by id; AQE broadcasts that side
-    when the corpus is small and hash-joins at scale, so the expensive
-    payload crosses the wire at most twice per surviving candidate
-    instead of 144× per row. Sandbox wall at sf0.1 only drops 8.5→7.1s
-    (signature matmul dominates there); the exchange-bytes cut is the
-    10^9-row claim.
+    - **broadcast-confirm** (n ≤ ``broadcast_max_rows``, default 200k or
+      $ARES_NEARPAIRS_BCAST_MAX): the id→vector matrix plus the bucket
+      matrix (n·(dim+tables) doubles/longs — ~125 MB at 200k×64) ship as
+      ONE Spark broadcast, and a ``spark.range(k)`` seed fans the
+      (table, bucket) space over k tasks; candidate pairs are generated
+      AND cosine-confirmed inside numpy per bucket, so neither the
+      bucket entries nor the ~occupancy² intermediate pair set ever
+      enter an exchange — only the few survivors do (the final
+      (id_a, id_b) dedup). Replacing the old bucket self-join + 2
+      vector re-joins + per-pair JVM aggregate fold with this cut d07b
+      at 20k×64 (driver sf1.0 bench shape) from 280 s to ~1.4 s warm:
+      the join emitted ~2×10^8 candidate rows through an exchange and
+      folded 64-element lambdas per pair; the broadcast path does the
+      same math as 4096 small matmuls and shuffles ~16k rows.
+    - **join-confirm** (n above the cap): the prior shape — bucket
+      equi-self-join moving (id, table, bucket) ints, pair dedup, then
+      the vectors re-join by id and the JVM-side exact cosine. Scales
+      past driver/executor broadcast memory; cost tracks bucket
+      occupancy, so at that scale ``planes`` must grow with log2(n)
+      (the knob above) to keep occupancy bounded.
     """
+    import os
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = int(os.environ.get("ARES_NEARPAIRS_BCAST_MAX", "200000"))
+    # ONE bounded scan decides the path AND feeds it: collect up to cap+1
+    # (id, vector) rows — if the corpus fits, this is the broadcast matrix
+    # itself, so the grouped path never scans the input again (the input is
+    # a single-row-group file in the bench, so each scan is serial)
+    probe = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).limit(broadcast_max_rows + 1).toPandas()
+    if len(probe) <= broadcast_max_rows:
+        return _near_pairs_grouped(
+            df, probe, dim, threshold, planes, tables, multiprobe_bits, seed, id_col
+        )
+    return _near_pairs_joined(
+        df, dim, threshold, planes, tables, multiprobe_bits, seed, id_col, vec_col
+    )
+
+
+def _near_pairs_grouped(
+    df: DataFrame,
+    pdf_all: pd.DataFrame,
+    dim: int,
+    threshold: float,
+    planes: int,
+    tables: int,
+    multiprobe_bits: int,
+    seed: int,
+    id_col: str,
+) -> DataFrame:
+    """Broadcast-confirm path of embedding_near_pairs (see its docstring).
+    ``pdf_all`` is the already-collected (id, v) frame — the caller's
+    path-probe collect doubles as the broadcast matrix, so this path runs
+    exactly ONE scan of the input (which is serial on single-row-group
+    files).
+
+    Shape (guide §3.1/§8: a broadcast replaces the shuffle outright):
+    signatures are the same numpy matmul as ``table_signatures_col`` but
+    computed driver-side on the collected matrix; (ids, vectors, norms,
+    bucket matrix) ship as ONE broadcast, and a ``spark.range(k)`` seed
+    fans the (table, bucket) space out over k tasks — task p owns the
+    buckets with ``(t·2^planes + bucket) % k == p``. Each task generates
+    its buckets' candidate pairs and confirms them in numpy; only the
+    few cosine-≥-threshold survivors ever enter an exchange (the final
+    (id_a, id_b) dedup). Nothing else is shuffled: no bucket self-join,
+    no candidate-pair exchange, no per-group Arrow round-trip (an
+    applyInPandas over the 4096 (table, bucket) groups was measured at
+    ~6 s of pure per-group framework overhead — the whole point of
+    slicing by bucket RANGE instead of grouping by bucket VALUE).
+
+    Candidate set per bucket (t, v): exact members E(v) × E(v), plus
+    probes×E — a Hamming-1 pair is covered exactly once per table
+    because probes flip only 0-bits ("probe up"): the lower-bucket
+    member probes into the higher bucket, where its partner sits as
+    exact. Same symmetric Hamming≤1 candidate set as probing both
+    directions, half the work. The emitted cosine is the deterministic
+    per-pair element-product sum (independent of task slicing, so
+    cross-table duplicates carry bit-identical values and the final
+    dropDuplicates is order-safe); the cheap prefilter uses one BLAS
+    matmul per bucket with an epsilon slack, and the exact recompute
+    decides the threshold."""
+    import numpy as np
+
+    spark = df.sparkSession
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cosine double"
+    if len(pdf_all) == 0:
+        return spark.createDataFrame([], out_schema)
+    raw_ids = pdf_all["id"].to_numpy()
+    ids_sorted = np.sort(raw_ids)
+    order = np.argsort(raw_ids, kind="stable")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all["v"]])[order]
+    norms = np.sqrt((V * V).sum(axis=1))
+    Vn = V / np.maximum(norms, 1e-300)[:, None]
+
+    # signatures, driver-side: bit i of table t = sign(v · plane(seed+1000t, i))
+    # — the identical matmul + bit-packing as table_signatures_col
+    P = np.asarray(
+        [row for t in range(tables) for row in _hyperplanes(dim, planes, seed + 1000 * t)],
+        dtype=np.float64,
+    )
+    bits = (V @ P.T) > 0
+    bits = bits.reshape(len(V), tables, planes)
+    weights = np.left_shift(np.int64(1), np.arange(planes, dtype=np.int64))
+    buckets = (bits * weights).sum(axis=2, dtype=np.int64)  # (n, tables)
+
+    bc = spark.sparkContext.broadcast((ids_sorted, V, norms, Vn, buckets))
+    thr = float(threshold)
+    k = spark.sparkContext.defaultParallelism
+    n_tables, n_planes, probe_on = tables, planes, multiprobe_bits >= 1
+
+    def gen(batches):
+        sids, Vb, nb, Vnb, B = bc.value
+        srt = [np.argsort(B[:, t], kind="stable") for t in range(n_tables)]
+        sb = [B[srt[t], t] for t in range(n_tables)]
+
+        def members(t, v):
+            lo = np.searchsorted(sb[t], v, "left")
+            hi = np.searchsorted(sb[t], v, "right")
+            return srt[t][lo:hi]
+
+        for pdf in batches:
+            outs = []
+            for part in pdf["id"].tolist():
+                for t in range(n_tables):
+                    for v in np.unique(sb[t]):
+                        if int(t << n_planes | int(v)) % k != part:
+                            continue
+                        E = members(t, v)
+                        A = E
+                        if probe_on:
+                            vv = int(v)
+                            probes = [members(t, vv ^ (1 << i))
+                                      for i in range(n_planes) if vv & (1 << i)]
+                            if probes:
+                                A = np.concatenate([E] + probes)
+                        if E.size == 0 or A.size < 2:
+                            continue
+                        S = Vnb[A] @ Vnb[E].T
+                        mask = (S >= thr - 1e-9) & (A[:, None] != E[None, :])
+                        ra, rb = np.nonzero(mask)
+                        if ra.size == 0:
+                            continue
+                        pa, pb = sids[A[ra]], sids[E[rb]]
+                        lo_, hi_ = np.minimum(pa, pb), np.maximum(pa, pb)
+                        uniq = np.unique(np.stack([lo_, hi_], axis=1), axis=0)
+                        ilo = np.searchsorted(sids, uniq[:, 0])
+                        ihi = np.searchsorted(sids, uniq[:, 1])
+                        # deterministic exact confirm: fixed-length (dim)
+                        # row-product sum, independent of task slicing —
+                        # this value decides the threshold
+                        dot = (Vb[ilo] * Vb[ihi]).sum(axis=1)
+                        cos = dot / (nb[ilo] * nb[ihi])
+                        keep = cos >= thr
+                        if keep.any():
+                            outs.append(pd.DataFrame({
+                                "id_a": uniq[keep, 0], "id_b": uniq[keep, 1],
+                                "cosine": cos[keep]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    seeds = spark.range(0, k, 1, numPartitions=k)
+    out = seeds.mapInPandas(gen, out_schema)
+    return (
+        out.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _near_pairs_joined(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    planes: int,
+    tables: int,
+    multiprobe_bits: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join-confirm path of embedding_near_pairs (corpus too big to
+    broadcast): bucket equi-self-join moving (id, table, bucket) ints
+    only — the embedding vectors must NOT ride the explode (tables ×
+    (planes+1) copies of a dim-float array through the exchange, a ~100×
+    exchange-payload amplification). The vectors re-join AFTER the
+    candidate pairs dedup, keyed by id; AQE broadcasts that side when it
+    fits and hash-joins at scale, so the payload crosses the wire at most
+    twice per surviving candidate instead of 144× per row."""
     spark = df.sparkSession
     sigs = table_signatures_col(spark, F.col(vec_col), dim, planes, tables, seed)
     b = df.select(

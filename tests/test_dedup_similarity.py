@@ -378,3 +378,44 @@ def test_embedding_near_pairs_equals_exact_and_no_cross_join(spark):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, f"near-pairs plan contains {bad}"
+
+
+def test_embedding_near_pairs_paths_agree(spark):
+    """The broadcast-confirm (range-sliced numpy) path and the
+    join-confirm path of embedding_near_pairs are PHYSICAL alternatives
+    over the same candidate set — identical (id_a, id_b, cosine) output,
+    with and without multiprobe."""
+    from ares_spark.operators.similarity import _near_pairs_joined, embedding_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    for mp in (1, 0):
+        grouped = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_near_pairs(
+                emb, dim=64, threshold=0.45, planes=8, tables=16,
+                multiprobe_bits=mp,
+            ).collect()
+        }
+        joined = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in _near_pairs_joined(
+                emb, 64, 0.45, 8, 16, mp, 42, "vec_id", "embedding"
+            ).collect()
+        }
+        assert grouped == joined, f"multiprobe={mp}"
+    # forcing the join path through the public cap knob gives the same too
+    forced = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_pairs(
+            emb, dim=64, threshold=0.45, planes=8, tables=16,
+            multiprobe_bits=1, broadcast_max_rows=10,
+        ).collect()
+    }
+    assert forced == {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_pairs(
+            emb, dim=64, threshold=0.45, planes=8, tables=16, multiprobe_bits=1
+        ).collect()
+    }

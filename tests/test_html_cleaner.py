@@ -283,3 +283,46 @@ def test_domain_allowed():
     assert not domain_allowed("example.com.evil.com", ["example.com"])
     assert not domain_allowed("example.com", [])
     assert not domain_allowed(None, ["example.com"])
+
+
+def test_links_single_pass_canon():
+    """discover_links' one-pass join+canonicalize equals the two-pass
+    resolve_url → canonicalize(keep_fragment=False) it replaced
+    (canonicalize is idempotent on scheme/host/port/path/query and the
+    fragment is parsed off the joined URL either way)."""
+    from urllib.parse import urljoin
+
+    from ares_spark.functions.urls import canonicalize_url, resolve_url
+
+    cases = [
+        ("https://example.com/a/b", "../c#frag"),
+        ("https://example.com/a/b/", "./.././x.html?q=1#top"),
+        ("https://Example.COM:443/a", "//other.org:80/p q/#f"),
+        ("https://example.com/", "HTTP://UPPER.example.net:8080/Path/../X"),
+        ("https://example.com/", "mailto:x@y.z"),
+        ("https://example.com/", "javascript:void(0)"),
+        ("https://example.com/", "ftp://files.example.com/a"),
+        ("https://example.com/base/", "a%20b/c%2Fd.html"),
+        ("https://example.com/base/", "?only=query"),
+        ("https://example.com/base/", "#only-frag"),
+        ("https://example.com/", "https://bücher.example/päth?ü=1#frág"),
+        ("https://example.com/", "  /leading-space  "),
+        ("https://example.com/", "http://example.com:80/x"),
+        ("https://example.com/", "https://user:pw@h.example:9/x/./y"),
+        ("https://example.com/", "/%7Euser/~user/"),
+        ("https://example.com/", "../../../../up"),
+        ("https://example.com/x", ""),
+        ("https://example.com/x", "//[::1]:99999/bad-port"),
+    ]
+    for base, href in cases:
+        try:
+            joined = urljoin(base, href.strip())
+        except ValueError:
+            joined = None
+        one = canonicalize_url(joined, keep_fragment=False) if joined else None
+        resolved = resolve_url(base, href)
+        two = (
+            canonicalize_url(resolved, keep_fragment=False)
+            if resolved is not None else None
+        )
+        assert one == two, (base, href, one, two)
