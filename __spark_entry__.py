@@ -26,7 +26,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, size_bytes: int | None = None) -> DataFrame:
     """Fan an unsplittable scan out to the session's cores.
 
     The sf tables are single-file/single-row-group parquet, and a row
@@ -37,9 +37,37 @@ def _spread(df: DataFrame) -> DataFrame:
     after the read"): one cheap round-robin exchange of the rows buys
     full-width parallelism for the expensive stage. Values are unchanged
     (round-robin repartition is deterministic under Spark's
-    sortBeforeRepartition default; no query result depends on row order)."""
+    sortBeforeRepartition default; no query result depends on row order).
+
+    SIZE-GATED: below ``$ARES_SPREAD_MIN_BYTES`` (default 2 MB of
+    compressed input) the exchange costs more than the serial stage it
+    parallelizes — measured at sf0.1 (≤0.6 MB tables): t02 0.60→1.00 s,
+    t03 0.42→0.72 s with an unconditional spread, while the same spread
+    at sf1.0 (≥5.7 MB) cuts t04 5.6→1.1 s. A byte threshold on the
+    input file keeps both regimes on their faster plan."""
+    import os
+
+    min_bytes = int(os.environ.get("ARES_SPREAD_MIN_BYTES", str(2 * 1024 * 1024)))
+    if size_bytes is not None and size_bytes < min_bytes:
+        return df
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+def _tsz(sf_dir: str, name: str) -> int | None:
+    """On-disk size of a table (file or directory) for the _spread gate."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    except OSError:
+        return None
 
 
 # --------------------------------------------------------------------------
@@ -369,7 +397,7 @@ def q_a20_priority_frontier(spark, sf_dir):
 def q_t01_token_count(spark, sf_dir):
     from ares_spark.functions.text import bpe_ish_token_count, token_count
 
-    return _spread(_t(spark, sf_dir, "documents")).select(
+    return _spread(_t(spark, sf_dir, "documents"), _tsz(sf_dir, "documents")).select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_subtokens"),
@@ -383,7 +411,7 @@ def q_t02_quality_score(spark, sf_dir):
     from ares_spark.functions.text import quality_metrics
 
     m = quality_metrics("text")
-    return _spread(_t(spark, sf_dir, "documents")).select(
+    return _spread(_t(spark, sf_dir, "documents"), _tsz(sf_dir, "documents")).select(
         "doc_id",
         m.punct_ratio.alias("punct_ratio"),
         m.stopword_ratio.alias("stopword_ratio"),
@@ -394,7 +422,7 @@ def q_t02_quality_score(spark, sf_dir):
 def q_t03_lang_id(spark, sf_dir):
     from ares_spark.functions.text import lang_id
 
-    return _spread(_t(spark, sf_dir, "documents")).select(
+    return _spread(_t(spark, sf_dir, "documents"), _tsz(sf_dir, "documents")).select(
         "doc_id", "lang", lang_id("text").alias("detected_lang")
     )
 
@@ -402,7 +430,7 @@ def q_t03_lang_id(spark, sf_dir):
 def q_t04_fingerprint(spark, sf_dir):
     from ares_spark.functions.text import doc_fingerprint
 
-    return _spread(_t(spark, sf_dir, "documents")).select(
+    return _spread(_t(spark, sf_dir, "documents"), _tsz(sf_dir, "documents")).select(
         "doc_id", doc_fingerprint("text").alias("fingerprint")
     )
 
@@ -438,7 +466,7 @@ def q_t07_repetition(spark, sf_dir):
     codegen, recomputed exactly by DuckDB list ops."""
     from ares_spark.functions.text import repetition_metrics
 
-    return _spread(_t(spark, sf_dir, "documents")).select(
+    return _spread(_t(spark, sf_dir, "documents"), _tsz(sf_dir, "documents")).select(
         "doc_id", repetition_metrics("text").alias("r")
     ).select("doc_id", "r.dup_trigram_frac", "r.top_bigram_frac", "r.n_tokens")
 
@@ -577,7 +605,7 @@ def q_t05_fingerprint64(spark, sf_dir):
     no sort/concat; blake2b not in DuckDB → rows-only check)."""
     from ares_spark.functions.text import doc_fingerprint64
 
-    return _spread(_t(spark, sf_dir, "documents")).select(
+    return _spread(_t(spark, sf_dir, "documents"), _tsz(sf_dir, "documents")).select(
         "doc_id", doc_fingerprint64("text").alias("fingerprint64")
     )
 
@@ -666,7 +694,7 @@ def q_d07b_embedding_near_pairs_lsh(spark, sf_dir):
 def q_s01_ann_bruteforce(spark, sf_dir):
     from ares_spark.operators.similarity import brute_force_topk
 
-    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
+    emb = _spread(_t(spark, sf_dir, "embeddings"), _tsz(sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -683,7 +711,7 @@ def q_s02_ann_lsh(spark, sf_dir):
     oracle (rows-only check) — recall vs brute force asserted in pytest."""
     from ares_spark.operators.similarity import lsh_ann_topk
 
-    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1357,7 +1385,7 @@ def q_s03_ann_ivf(spark, sf_dir):
     IVF's worst case — see tools/gen_scale_goldens.py)."""
     from ares_spark.operators.similarity import ivf_ann_topk
 
-    emb = _spread(_t(spark, sf_dir, "embeddings")).withColumn(
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(

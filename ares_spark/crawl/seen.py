@@ -329,6 +329,45 @@ def build_shard_blooms_sized(
     return {s: (b.to_bytes(), n) for s, (b, n) in merged.items()}
 
 
+# process-wide sidecar bitmap memo, shared across tasks (and generations)
+# inside a reused Python worker — guide §4.5: module-level state in an
+# importable module survives task boundaries under spark.python.worker.reuse.
+# Content-addressed by (mtime_ns, size): an atomic republish (tmp+rename)
+# changes mtime, so a stale bitmap is never served; a miss re-reads disk.
+# Before this memo every probing/RMW task re-read + re-deserialized every
+# sidecar it touched each generation (~MBs per shard × tasks × generations —
+# the "sidecar load amplification" named in the r5 scaling diagnosis).
+_SIDECAR_MEMO: dict[str, tuple[tuple[int, int], "BloomFilter"]] = {}
+_SIDECAR_MEMO_MAX = 256
+
+
+def _load_sidecar(path) -> "BloomFilter | None":
+    """Load a sidecar bitmap through the process-wide memo (None if the
+    file does not exist; absence is never memoized — a later publish in
+    the same worker must be visible)."""
+    try:
+        st = path.stat()
+    except FileNotFoundError:
+        return None
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _SIDECAR_MEMO.get(str(path))
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    bf = BloomFilter.from_bytes(path.read_bytes())
+    _memo_sidecar(path, bf)
+    return bf
+
+
+def _memo_sidecar(path, bf: "BloomFilter") -> None:
+    try:
+        st = path.stat()
+    except FileNotFoundError:
+        return
+    if len(_SIDECAR_MEMO) >= _SIDECAR_MEMO_MAX:
+        _SIDECAR_MEMO.clear()
+    _SIDECAR_MEMO[str(path)] = ((st.st_mtime_ns, st.st_size), bf)
+
+
 class BloomSidecarSet:
     """Partition-local sharded Bloom seen-set (SURVEY §4 item 1: puffin-
     style sidecars): one bitmap FILE per host shard, probed and updated
@@ -419,8 +458,15 @@ class BloomSidecarSet:
                     bf = acc.get(shard)
                     if bf is None:
                         p = Path(directory) / f"shard-{shard:04d}.bloom"
-                        bf = (BloomFilter.from_bytes(p.read_bytes())
-                              if p.exists() else BloomFilter.sized(capacity, fpp))
+                        bf = _load_sidecar(p)
+                        if bf is not None:
+                            # the memo'd bitmap is shared read-only with
+                            # probe tasks in this worker — RMW mutates, so
+                            # work on a copy and re-memo after publish
+                            bf = BloomFilter(bf.n_bits, bf.n_hashes,
+                                             bf.bits.copy())
+                        else:
+                            bf = BloomFilter.sized(capacity, fpp)
                         if (bf.n_bits, bf.n_hashes) != (ref.n_bits, ref.n_hashes):
                             # silent false NEGATIVES otherwise — refuse loudly
                             # (capacity/fpp must not change mid-run)
@@ -439,6 +485,7 @@ class BloomSidecarSet:
                 tmp = p.with_name(p.name + f".tmp-{_os.getpid()}")
                 tmp.write_bytes(bf.to_bytes())
                 tmp.rename(p)  # atomic publish
+                _memo_sidecar(p, bf)  # next probe/RMW in this worker skips the read
             yield pd.DataFrame({"shard": list(acc), "n": [counts[s] for s in acc]})
 
         rows = (
@@ -465,7 +512,10 @@ class BloomSidecarSet:
         from pyspark.sql.functions import pandas_udf
 
         directory, capacity, fpp = str(self.dir), self.capacity, self.fpp
-        cache: dict[int, BloomFilter | None] = {}  # per-task sidecar memo
+        # per-TASK absence memo only; loaded bitmaps go through the
+        # process-wide content-addressed _SIDECAR_MEMO (shared across the
+        # tasks of a generation and across generations in a reused worker)
+        cache: dict[int, BloomFilter | None] = {}
 
         @pandas_udf("boolean")
         def probe(hashes, shards):
@@ -477,8 +527,7 @@ class BloomSidecarSet:
             for s in np.unique(sh):
                 s = int(s)
                 if s not in cache:
-                    p = Path(directory) / f"shard-{s:04d}.bloom"
-                    cache[s] = BloomFilter.from_bytes(p.read_bytes()) if p.exists() else None
+                    cache[s] = _load_sidecar(Path(directory) / f"shard-{s:04d}.bloom")
                 bf = cache[s]
                 if bf is None:
                     continue

@@ -120,23 +120,63 @@ def minhash_lsh_pairs(
     ``hash_fn`` picks the signature hash (see minhash_signature).
     """
     rows = num_hashes // bands
-    sh = _shingle_table(df, text_col, id_col, shingle_n)
-    sigs = sh.select(
-        F.col(id_col), _minhash_sig_col(F.col("sh"), num_hashes, hash_fn).alias("sig")
-    )
-    if hash_fn == "xx":
+    if hash_fn == "md5":
+        # fused shingle+signature+band Arrow pass: hashlib.md5 is
+        # byte-identical to Spark/DuckDB md5, python min() over hex
+        # strings == array_min (lexicographic), "|".join == concat_ws —
+        # value-equality with the expression path pinned in
+        # test_minhash_fused_band_pass_matches_expression. Replaces the
+        # 16×array_min(transform(md5)) expression tree whose codegen
+        # compile dominated the (tiny, 150-doc) d02 first call; the
+        # xx path below keeps the JVM tree (pure-python xxh64 is far
+        # slower per shingle than the JVM hash).
+        import hashlib
+
+        from pyspark import StorageLevel
+
+        from ares_spark.functions.text import _py_shingles
+
+        n_sh, n_h, n_b, n_r = shingle_n, num_hashes, bands, rows
+
+        @pandas_udf("struct<sh:array<string>,bands:array<string>>")
+        def sh_bands(texts: pd.Series) -> pd.DataFrame:
+            out = []
+            for t in texts:
+                shs = sorted(set(_py_shingles(t, n_sh)))
+                sig = [
+                    min(hashlib.md5(f"{k}:{s}".encode()).hexdigest() for s in shs)
+                    for k in range(n_h)
+                ]
+                bnd = [
+                    hashlib.md5(
+                        "|".join([str(b)] + sig[b * n_r:(b + 1) * n_r]).encode()
+                    ).hexdigest()
+                    for b in range(n_b)
+                ]
+                out.append({"sh": shs, "bands": bnd})
+            return pd.DataFrame(out)
+
+        base = df.select(
+            F.col(id_col), sh_bands(F.col(text_col)).alias("__sb")
+        ).select(
+            id_col, F.col("__sb.sh").alias("sh"), F.col("__sb.bands").alias("bands")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = base.select(id_col, "sh")
+        buckets = base.select(
+            F.col(id_col), F.explode("bands").alias("bucket")
+        ).dropDuplicates([id_col, "bucket"])
+    else:
+        sh = _shingle_table(df, text_col, id_col, shingle_n)
+        sigs = sh.select(
+            F.col(id_col), _minhash_sig_col(F.col("sh"), num_hashes, hash_fn).alias("sig")
+        )
         band_cols = [
             F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
             for b in range(bands)
         ]
-    else:
-        band_cols = [
-            F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col("sig")[b * rows + r] for r in range(rows)]))
-            for b in range(bands)
-        ]
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
-    ).dropDuplicates([id_col, "bucket"])
+        buckets = sigs.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+        ).dropDuplicates([id_col, "bucket"])
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), "bucket")

@@ -319,8 +319,6 @@ def _near_pairs_grouped(
     ids_sorted = np.sort(raw_ids)
     order = np.argsort(raw_ids, kind="stable")
     V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all["v"]])[order]
-    norms = np.sqrt((V * V).sum(axis=1))
-    Vn = V / np.maximum(norms, 1e-300)[:, None]
 
     # signatures, driver-side: bit i of table t = sign(v · plane(seed+1000t, i))
     # — the identical matmul + bit-packing as table_signatures_col
@@ -333,13 +331,18 @@ def _near_pairs_grouped(
     weights = np.left_shift(np.int64(1), np.arange(planes, dtype=np.int64))
     buckets = (bits * weights).sum(axis=2, dtype=np.int64)  # (n, tables)
 
-    bc = spark.sparkContext.broadcast((ids_sorted, V, norms, Vn, buckets))
+    # broadcast only (ids, V, buckets): norms and the normalized matrix
+    # re-derive per task in O(n*dim) — ~half the broadcast bytes, and each
+    # of the k workers unpickles that much less
+    bc = spark.sparkContext.broadcast((ids_sorted, V, buckets))
     thr = float(threshold)
     k = spark.sparkContext.defaultParallelism
     n_tables, n_planes, probe_on = tables, planes, multiprobe_bits >= 1
 
     def gen(batches):
-        sids, Vb, nb, Vnb, B = bc.value
+        sids, Vb, B = bc.value
+        nb = np.sqrt((Vb * Vb).sum(axis=1))
+        Vnb = Vb / np.maximum(nb, 1e-300)[:, None]
         srt = [np.argsort(B[:, t], kind="stable") for t in range(n_tables)]
         sb = [B[srt[t], t] for t in range(n_tables)]
 

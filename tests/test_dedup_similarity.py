@@ -419,3 +419,55 @@ def test_embedding_near_pairs_paths_agree(spark):
             emb, dim=64, threshold=0.45, planes=8, tables=16, multiprobe_bits=1
         ).collect()
     }
+
+
+def test_minhash_fused_band_pass_matches_expression(spark):
+    """minhash_lsh_pairs' fused Arrow shingle+signature+band pass (md5)
+    equals the expression-tree formulation it replaced: hashlib.md5 ==
+    Spark md5, python min() == array_min, "|".join == concat_ws."""
+    from ares_spark.operators.dedup import (
+        _minhash_sig_col,
+        _shingle_table,
+        minhash_lsh_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id", "text")
+    got = {tuple(r) for r in minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, threshold=0.35
+    ).collect()}
+
+    rows = 16 // 4
+    sh = _shingle_table(d, "text", "doc_id", 3)
+    sigs = sh.select(
+        F.col("doc_id"), _minhash_sig_col(F.col("sh"), 16, "md5").alias("sig")
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col("sig")[b * rows + r] for r in range(rows)]))
+        for b in range(4)
+    ]
+    buckets = sigs.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("bucket")
+    ).dropDuplicates(["doc_id", "bucket"])
+    cand = (
+        buckets.alias("a").join(buckets.alias("b"), "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    expected = {
+        tuple(r)
+        for r in (
+            cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .withColumn("jaccard", F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")))
+            .filter(F.col("jaccard") >= 0.35)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .collect()
+        )
+    }
+    sh.unpersist()
+    assert got == expected and len(got) == 1
