@@ -51,6 +51,10 @@ def _spread(df: DataFrame, size_bytes: int | None = None) -> DataFrame:
     if size_bytes is not None and size_bytes < min_bytes:
         return df
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        # already wide (multi-file / multi-row-group input): the exchange
+        # would buy nothing — this helper exists only for unsplittable scans
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
