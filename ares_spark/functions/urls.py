@@ -25,7 +25,7 @@ _QUERY_SAFE = _PATH_SAFE + "?"
 
 def _norm_host(host: str) -> str:
     host = host.lower().rstrip(".") if host else host
-    if host and any(ord(c) > 127 for c in host):
+    if host and not host.isascii():
         try:
             host = host.encode("idna").decode("ascii")
         except UnicodeError:

@@ -57,10 +57,21 @@ class Node:
         return self.attrs.get(name)
 
     def iter(self):
-        """Depth-first pre-order walk (document order)."""
+        """Depth-first pre-order walk (document order). Explicit stack of
+        LIVE children-list iterators — one next() per node instead of one
+        suspended generator frame per ancestor per node (the nested
+        ``yield from`` version was ~10% of process_html on real pages),
+        while keeping the recursive version's exact semantics under
+        mid-walk tree mutation (consumers prune subtrees while walking)."""
         yield self
-        for c in self.children:
-            yield from c.iter()
+        stack = [iter(self.children)]
+        while stack:
+            for node in stack[-1]:
+                yield node
+                stack.append(iter(node.children))
+                break
+            else:
+                stack.pop()
 
     def find_all(self, tag: str):
         return [n for n in self.iter() if n.tag == tag]

@@ -59,12 +59,19 @@ _ESCAPES = [
 
 _WS_RUN = re.compile(r"[ \t\r\n]+")
 
+# one-scan gate for _escape_text: a sub can fire only if the text contains
+# one of the unanchored metachars anywhere, or starts with an anchored one —
+# most text nodes contain neither and skip all 13 regex passes
+_ESCAPE_TRIGGER = re.compile(r"[\\*`\[\]_]|^[-+=#>~0-9]")
+
 # non-block void elements: whitespace after them is significant (collapse
 # keeps the following text node's leading space)
 _VOID_INLINE = frozenset(["img", "input", "wbr", "embed", "area", "col", "source", "track"])
 
 
 def _escape_text(text: str) -> str:
+    if not _ESCAPE_TRIGGER.search(text):
+        return text
     for pat, repl in _ESCAPES:
         text = pat.sub(repl, text)
     return text

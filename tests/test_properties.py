@@ -364,7 +364,12 @@ def test_cleaner_escape_roundtrip_on_plain_text(text):
 @given(
     st.lists(_html_tree(), max_size=5).map("".join),
     st.sampled_from(["script", "style", "nav", "footer", "header", "aside", "noscript", "iframe", "svg"]),
-    st.text(max_size=60),
+    # junk is TEXT content: a raw "<" would start new markup — e.g. "<?"
+    # opens a bogus comment that swallows everything to the next ">",
+    # including this payload's own closing tags (HTML spec behavior, same
+    # in browsers and html.parser), so the subtree boundary itself changes
+    # and the invariance premise no longer applies
+    st.text(max_size=60).map(lambda s: s.replace("<", "")),
 )
 @_settings
 def test_cleaner_skip_tag_invariance(body, skip_tag, junk):
