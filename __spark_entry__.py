@@ -1725,7 +1725,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c03_extraction_fixtures": q_c03_extraction_fixtures,
         "c04_crawl_trace_retries": q_c04_crawl_trace_retries,
         "c05_training_mix": q_c05_training_mix,
-        "t06_pii_scrub": q_t06_pii_scrub,
+        "m01_image_decode_luma": q_m01_image_decode_luma,
         "m02_wav_decode_stats": q_m02_wav_decode_stats,
         "m03_png_decode_luma": q_m03_png_decode_luma,
         "m04_mp4_frame_sample": q_m04_mp4_frame_sample,
@@ -1775,7 +1775,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_quality_score": q_t02_quality_score,
         "t04_fingerprint": q_t04_fingerprint,
         "t05_fingerprint64": q_t05_fingerprint64,
-        "m01_image_decode_luma": q_m01_image_decode_luma,
+        "t06_pii_scrub": q_t06_pii_scrub,
         "t07_repetition": q_t07_repetition,
         "b04_claim_order_topk": q_b04_claim_order_topk,
         "b04_history_pagination": q_b04_history_pagination,
